@@ -1,0 +1,255 @@
+"""Typed configuration tree + the five named presets from BASELINE.json.
+
+Reference equivalent: argparse flags + in-file constants (SURVEY.md R14 [TK-H]).
+Here: frozen dataclasses, YAML file load, and ``--key.subkey=value`` overrides;
+the full config is serialized into every checkpoint (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+# Tile vocabulary shared by the synthetic corpus and the playability env.
+EMPTY, WALL, START, GOAL, HAZARD, COIN = 0, 1, 2, 3, 4, 5
+TILE_NAMES = ("empty", "wall", "start", "goal", "hazard", "coin", "sand", "ice")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    level_size: int = 16          # square H = W tile grid
+    n_tiles: int = 8              # tile vocabulary size (one-hot channels)
+    latent_dim: int = 64
+    base_channels: int = 64       # channels of the last (widest-resolution) G stage
+    max_channels: int = 512
+    norm: str = "group"           # 'group' (stateless, kernel-fusable) | 'none'
+    group_size: int = 16          # channels per GroupNorm group
+    leaky_slope: float = 0.2
+    # Output head: 'softmax' (vanilla/wgan) or 'gumbel' (discrete ST sampling)
+    head: str = "softmax"
+    tau_start: float = 2.0        # Gumbel temperature anneal: tau_start -> tau_end
+    tau_end: float = 0.5
+    tau_anneal_steps: int = 2000
+    # Conditioning (config 4): 0 = unconditional; >0 = feature-vector dim
+    cond_dim: int = 0
+    cond_embed_dim: int = 32
+    critic_base_channels: int = 64
+    dtype: str = "bfloat16"       # activation dtype on TPU; params stay f32
+    use_pallas: bool = False      # swap XLA fallback blocks for Pallas kernels
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    loss: str = "gan"             # 'gan' (non-saturating BCE) | 'wgan_gp'
+    batch_size: int = 64          # GLOBAL batch (sharded over the mesh)
+    steps: int = 100
+    lr_g: float = 2e-4
+    lr_d: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    n_critic: int = 5             # critic updates per generator update (wgan_gp)
+    gp_lambda: float = 10.0
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    corpus: str = "synthetic"     # 'synthetic' | path to .npz of uint8 levels
+    corpus_size: int = 4096
+    corpus_seed: int = 1234
+    augment: bool = True          # random D4 flip/rotate, on-device
+    wall_density: float = 0.25    # synthetic corpus knobs
+    hazard_rate: float = 0.04
+    coin_rate: float = 0.06
+
+
+@dataclass(frozen=True)
+class DistConfig:
+    dp: int = 0                   # data-parallel size; 0 = all visible devices
+    # Mesh axis names are fixed: ('data',). Batch is sharded on 'data';
+    # params are replicated; XLA emits the ICI allreduce (SURVEY.md §2.4).
+
+
+@dataclass(frozen=True)
+class CurriculumConfig:
+    """Agent-in-the-loop adversarial curriculum (config 5, SURVEY.md R7-R9)."""
+    rollout_steps: int = 48       # env steps per episode (lax.scan length)
+    gamma: float = 0.97
+    agent_lr: float = 3e-4
+    weak_agent_lr: float = 3e-5   # weak agent learns slowly -> persistent skill gap
+    entropy_coef: float = 0.01
+    value_coef: float = 0.5
+    # Generator REINFORCE reward = w_play*playable(strong) - w_anti*playable(weak)
+    #                             + w_gap*(return_strong - return_weak)
+    w_play: float = 1.0
+    w_anti: float = 0.5
+    w_gap: float = 1.0
+    g_baseline_decay: float = 0.9
+    agent_updates_per_step: int = 1
+
+
+@dataclass(frozen=True)
+class IOConfig:
+    out_dir: str = "runs/default"
+    ckpt_every: int = 500
+    log_every: int = 25
+    keep_ckpts: int = 3
+    resume: str = ""              # '' | 'auto' | explicit checkpoint path
+    profile: bool = False
+    profile_dir: str = ""
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    dist: DistConfig = field(default_factory=DistConfig)
+    curriculum: CurriculumConfig = field(default_factory=CurriculumConfig)
+    io: IOConfig = field(default_factory=IOConfig)
+    preset: str = "custom"
+
+    # ---- serialization ----------------------------------------------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        def build(tp, val):
+            if dataclasses.is_dataclass(tp) and isinstance(val, dict):
+                fields = {f.name: f for f in dataclasses.fields(tp)}
+                kwargs = {}
+                for k, v in val.items():
+                    if k not in fields:
+                        raise KeyError(f"unknown config key: {tp.__name__}.{k}")
+                    ftype = fields[k].type
+                    ftype = _resolve(ftype)
+                    kwargs[k] = build(ftype, v)
+                return tp(**kwargs)
+            return val
+
+        return build(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    # ---- overrides ---------------------------------------------------------
+    def override(self, **dotted: Any) -> "Config":
+        """Return a new Config with dotted-key overrides applied.
+
+        ``cfg.override(**{"train.steps": 500, "model.use_pallas": True})``
+        """
+        d = self.to_dict()
+        for key, value in dotted.items():
+            node = d
+            parts = key.split(".")
+            for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"unknown config section: {key}")
+                node = node[p]
+            leaf = parts[-1]
+            if leaf not in node:
+                raise KeyError(f"unknown config key: {key}")
+            node[leaf] = _coerce(type(node[leaf]), value)
+        return Config.from_dict(d)
+
+
+_TYPES = {
+    "ModelConfig": ModelConfig, "TrainConfig": TrainConfig,
+    "DataConfig": DataConfig, "DistConfig": DistConfig,
+    "CurriculumConfig": CurriculumConfig, "IOConfig": IOConfig,
+}
+
+
+def _resolve(tp):
+    if isinstance(tp, str):
+        return _TYPES.get(tp, tp)
+    return tp
+
+
+def _coerce(tp, value):
+    if value is None or isinstance(value, tp):
+        return value
+    if tp is bool:
+        if isinstance(value, str):
+            return value.lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    return tp(value)
+
+
+# ---- the five BASELINE.json presets ----------------------------------------
+
+def preset(name: str) -> Config:
+    """Named presets covering BASELINE.json's five configs (SURVEY.md §0)."""
+    presets = {
+        # 1. Toy DCGAN: 16x16 one-hot tile grid, batch 64, 100 steps.
+        "toy_dcgan_16": Config(
+            preset="toy_dcgan_16",
+            model=ModelConfig(level_size=16),
+            train=TrainConfig(loss="gan", batch_size=64, steps=100),
+        ),
+        # 2. WGAN-GP on 32x32 tile levels (fused GP double-backward kernel).
+        "wgan_gp_32": Config(
+            preset="wgan_gp_32",
+            model=ModelConfig(level_size=32),
+            train=TrainConfig(loss="wgan_gp", batch_size=64, steps=2000,
+                              lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
+        ),
+        # 3. Gumbel-softmax discrete generator at 64x64, on-device pipeline.
+        "gumbel_64": Config(
+            preset="gumbel_64",
+            model=ModelConfig(level_size=64, head="gumbel"),
+            train=TrainConfig(loss="wgan_gp", batch_size=64, steps=5000,
+                              lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
+        ),
+        # 4. Conditional generator (difficulty/feature conditioning) + export CLI.
+        "conditional_32": Config(
+            preset="conditional_32",
+            model=ModelConfig(level_size=32, head="gumbel", cond_dim=4),
+            train=TrainConfig(loss="wgan_gp", batch_size=64, steps=5000,
+                              lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
+        ),
+        # 5. Agent-in-the-loop adversarial curriculum, data-parallel mesh.
+        "curriculum_16": Config(
+            preset="curriculum_16",
+            model=ModelConfig(level_size=16, head="gumbel"),
+            train=TrainConfig(loss="wgan_gp", batch_size=64, steps=3000,
+                              lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
+            curriculum=CurriculumConfig(),
+        ),
+    }
+    if name not in presets:
+        raise KeyError(f"unknown preset '{name}'; available: {sorted(presets)}")
+    return presets[name]
+
+
+PRESET_NAMES = ("toy_dcgan_16", "wgan_gp_32", "gumbel_64",
+                "conditional_32", "curriculum_16")
+
+
+def load_config(path: str | None = None, preset_name: str | None = None,
+                overrides: dict[str, Any] | None = None) -> Config:
+    """Build a Config from (preset | YAML/JSON file) + dotted overrides."""
+    if path:
+        with open(path) as f:
+            text = f.read()
+        try:
+            d = json.loads(text)
+        except json.JSONDecodeError:
+            import yaml
+            d = yaml.safe_load(text)
+        cfg = Config.from_dict(d)
+    elif preset_name:
+        cfg = preset(preset_name)
+    else:
+        cfg = Config()
+    if overrides:
+        cfg = cfg.override(**overrides)
+    return cfg

@@ -1,0 +1,124 @@
+"""Level corpus: deterministic synthetic generator + batched sampler.
+
+Reference equivalent: the reference trains on its own generated/recorded
+levels; it ships no dataset (SURVEY.md N3).  The synthetic corpus here is the
+shared test/train fixture mandated by SURVEY.md §4.2: a seeded random-walk
+("drunkard's walk") carver that produces *structured, playable-by-construction*
+tile levels — border walls, a connected carved interior, exactly one START and
+one GOAL, hazards/coins/terrain sprinkled on floor cells.
+
+Corpus generation is offline host NumPy (runs once); the hot path only ever
+sees the resulting uint8 array.  Per-step batches are raw uint8 tile ids —
+one-hot encoding and augmentation happen on-device inside the train step
+(BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from levelgan.config import COIN, EMPTY, GOAL, HAZARD, START, WALL
+
+SAND, ICE = 6, 7
+
+
+def _carve_level(rng: np.random.Generator, size: int, wall_density: float,
+                 hazard_rate: float, coin_rate: float) -> np.ndarray:
+    """One level via random-walk carving. Returns uint8 [size, size]."""
+    grid = np.full((size, size), WALL, dtype=np.uint8)
+    interior = size - 2
+
+    # Carve a connected floor region with a drunkard's walk.
+    target_floor = max(4, int(round(interior * interior * (1.0 - wall_density))))
+    r, c = rng.integers(1, size - 1, size=2)
+    start_pos = (int(r), int(c))
+    grid[r, c] = EMPTY
+    carved = [(int(r), int(c))]
+    steps = 0
+    max_steps = 50 * interior * interior
+    while len(carved) < target_floor and steps < max_steps:
+        dr, dc = [(0, 1), (0, -1), (1, 0), (-1, 0)][rng.integers(0, 4)]
+        nr, nc = r + dr, c + dc
+        if 1 <= nr < size - 1 and 1 <= nc < size - 1:
+            r, c = nr, nc
+            if grid[r, c] == WALL:
+                grid[r, c] = EMPTY
+                carved.append((int(r), int(c)))
+        steps += 1
+
+    # Goal: the carved cell farthest (L1) from the start; guaranteed reachable.
+    dists = [abs(p[0] - start_pos[0]) + abs(p[1] - start_pos[1]) for p in carved]
+    goal_pos = carved[int(np.argmax(dists))]
+    if goal_pos == start_pos and len(carved) > 1:
+        goal_pos = carved[-1]
+
+    # Decorations on floor cells (never on start/goal).
+    floor = [p for p in carved if p != start_pos and p != goal_pos]
+    if floor:
+        probs = rng.random(len(floor))
+        terrain = rng.random(len(floor))
+        for (p, u, t) in zip(floor, probs, terrain):
+            if u < hazard_rate:
+                grid[p] = HAZARD
+            elif u < hazard_rate + coin_rate:
+                grid[p] = COIN
+            elif t < 0.08:
+                grid[p] = SAND
+            elif t < 0.16:
+                grid[p] = ICE
+
+    grid[start_pos] = START
+    grid[goal_pos] = GOAL
+    return grid
+
+
+def synthetic_corpus(n: int, size: int, seed: int = 1234,
+                     wall_density: float = 0.25, hazard_rate: float = 0.04,
+                     coin_rate: float = 0.06) -> np.ndarray:
+    """Deterministic corpus of ``n`` uint8 levels [n, size, size]."""
+    rng = np.random.default_rng(seed)
+    return np.stack([
+        _carve_level(rng, size, wall_density, hazard_rate, coin_rate)
+        for _ in range(n)
+    ])
+
+
+class LevelDataset:
+    """Infinite shuffled batch sampler over a uint8 level corpus.
+
+    ``batches(global_batch)`` yields host uint8 arrays; sharding onto the
+    device mesh is the trainer's job (levelgan.dist).  Deterministic given
+    the seed — required by the §4.2 determinism tests.
+    """
+
+    def __init__(self, levels: np.ndarray, seed: int = 0):
+        if levels.dtype != np.uint8 or levels.ndim != 3:
+            raise ValueError(f"expected uint8 [N,H,W], got {levels.dtype} {levels.shape}")
+        self.levels = levels
+        self._rng = np.random.default_rng(seed)
+
+    @classmethod
+    def from_config(cls, data_cfg, model_cfg, seed: int = 0) -> "LevelDataset":
+        if data_cfg.corpus == "synthetic":
+            levels = synthetic_corpus(
+                data_cfg.corpus_size, model_cfg.level_size,
+                seed=data_cfg.corpus_seed, wall_density=data_cfg.wall_density,
+                hazard_rate=data_cfg.hazard_rate, coin_rate=data_cfg.coin_rate)
+        else:
+            levels = np.load(data_cfg.corpus)
+            if isinstance(levels, np.lib.npyio.NpzFile):
+                levels = levels["levels"]
+            levels = levels.astype(np.uint8)
+        return cls(levels, seed=seed)
+
+    def sample(self, batch_size: int) -> np.ndarray:
+        idx = self._rng.integers(0, len(self.levels), size=batch_size)
+        return self.levels[idx]
+
+    def batches(self, batch_size: int):
+        while True:
+            yield self.sample(batch_size)
+
+    def tile_histogram(self, n_tiles: int) -> np.ndarray:
+        """Tile-type marginal counts over the whole corpus (KL reference)."""
+        return np.bincount(self.levels.reshape(-1), minlength=n_tiles).astype(np.float64)

@@ -1,0 +1,49 @@
+import json
+
+import pytest
+
+from levelgan.config import PRESET_NAMES, Config, load_config, preset
+
+
+def test_presets_cover_baseline_configs():
+    assert len(PRESET_NAMES) == 5
+    p1 = preset("toy_dcgan_16")
+    assert (p1.model.level_size, p1.train.batch_size, p1.train.steps) == (16, 64, 100)
+    assert p1.train.loss == "gan"
+    p2 = preset("wgan_gp_32")
+    assert p2.model.level_size == 32 and p2.train.loss == "wgan_gp"
+    p3 = preset("gumbel_64")
+    assert p3.model.level_size == 64 and p3.model.head == "gumbel"
+    p4 = preset("conditional_32")
+    assert p4.model.cond_dim > 0
+    p5 = preset("curriculum_16")
+    assert p5.curriculum.rollout_steps > 0
+
+
+def test_roundtrip_json():
+    cfg = preset("wgan_gp_32")
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg == cfg2
+
+
+def test_override():
+    cfg = preset("toy_dcgan_16").override(**{
+        "train.steps": "500", "model.use_pallas": "true", "train.lr_g": 1e-3})
+    assert cfg.train.steps == 500 and cfg.model.use_pallas is True
+    assert cfg.train.lr_g == 1e-3
+    with pytest.raises(KeyError):
+        cfg.override(**{"train.nope": 1})
+
+
+def test_load_config_file(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(preset("gumbel_64").to_dict()))
+    cfg = load_config(str(p), overrides={"train.steps": 7})
+    assert cfg.model.level_size == 64 and cfg.train.steps == 7
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(KeyError):
+        Config.from_dict({"model": {"bogus": 1}})
+    with pytest.raises(KeyError):
+        preset("nope")
