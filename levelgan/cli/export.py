@@ -1,0 +1,111 @@
+"""Sample-level export CLI: ``python -m levelgan.cli.export`` (SURVEY.md N15 [NS]).
+
+Reference equivalent: the sample-dump helper that produced the README's
+level images (SURVEY.md R12).  Batched jit generation, on-device argmax
+decode, single host transfer; writes ``.npz`` (uint8 levels), ``.txt``
+(ascii render), or ``.png`` (tile-color grid).  Prints levels/sec — the
+BASELINE.md export-throughput metric.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from levelgan.api import generate, make_generate_fn
+from levelgan.config import TILE_NAMES, Config
+from levelgan.lio.checkpoint import load_checkpoint, load_manifest
+from levelgan.train.state import create_state
+
+ASCII_TILES = ".#SGXo~*"
+# RGB palette per tile id (empty, wall, start, goal, hazard, coin, sand, ice)
+PALETTE = np.array([
+    [236, 236, 228], [60, 56, 54], [69, 133, 66], [214, 93, 14],
+    [204, 36, 29], [215, 153, 33], [189, 174, 147], [131, 165, 152],
+], dtype=np.uint8)
+
+
+def load_generator(ckpt: str):
+    cfg = Config.from_dict(load_manifest(ckpt)["config"])
+    example = jax.device_get(create_state(cfg))
+    state, cfg = load_checkpoint(ckpt, example)
+    return cfg, state
+
+
+def write_txt(path: str, levels: np.ndarray):
+    with open(path, "w") as f:
+        for lv in levels:
+            for row in lv:
+                f.write("".join(ASCII_TILES[min(t, len(ASCII_TILES) - 1)]
+                                for t in row) + "\n")
+            f.write("\n")
+
+
+def write_png(path: str, levels: np.ndarray, scale: int = 8, cols: int = 8):
+    n, h, w = levels.shape
+    cols = min(cols, n)
+    rows = (n + cols - 1) // cols
+    grid = np.zeros((rows * h, cols * w), dtype=np.uint8)
+    for i, lv in enumerate(levels):
+        r, c = divmod(i, cols)
+        grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = lv
+    rgb = PALETTE[np.minimum(grid, len(PALETTE) - 1)]
+    rgb = np.repeat(np.repeat(rgb, scale, 0), scale, 1)
+    try:
+        from PIL import Image
+        Image.fromarray(rgb).save(path)
+    except ImportError:
+        np.savez(path + ".npz", rgb=rgb)
+        print(f"[levelgan] PIL unavailable; wrote raw RGB to {path}.npz")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="levelgan-export",
+        description="Export generated levels from a checkpoint.")
+    ap.add_argument("--ckpt", required=True, help="checkpoint directory")
+    ap.add_argument("--n", type=int, default=64, help="number of levels")
+    ap.add_argument("--out", required=True, help=".npz / .txt / .png output")
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cond", default=None,
+                    help="comma-separated feature vector (conditional models)")
+    args = ap.parse_args(argv)
+
+    cfg, state = load_generator(args.ckpt)
+    cond = None
+    if args.cond is not None:
+        cond = np.array([float(x) for x in args.cond.split(",")], np.float32)
+        if cond.size != cfg.model.cond_dim:
+            raise SystemExit(f"--cond needs {cfg.model.cond_dim} values "
+                             f"({', '.join(TILE_NAMES[:0] or ())}), got {cond.size}")
+    elif cfg.model.cond_dim:
+        cond = np.full(cfg.model.cond_dim, 0.25, np.float32)
+
+    # warmup compile outside the timed region
+    gen_fn = make_generate_fn(cfg, min(args.batch, args.n))
+    t0 = time.perf_counter()
+    levels = generate(cfg, state.generator, args.n, seed=args.seed,
+                      batch_size=args.batch, cond=cond)
+    dt = time.perf_counter() - t0
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    if args.out.endswith(".npz"):
+        np.savez_compressed(args.out, levels=levels)
+    elif args.out.endswith(".txt"):
+        write_txt(args.out, levels)
+    elif args.out.endswith(".png"):
+        write_png(args.out, levels)
+    else:
+        raise SystemExit("--out must end in .npz, .txt, or .png")
+    print(f"[levelgan] exported {len(levels)} levels to {args.out} "
+          f"({len(levels) / dt:,.0f} levels/sec incl. compile)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

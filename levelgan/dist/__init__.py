@@ -1,0 +1,2 @@
+from levelgan.dist.mesh import (  # noqa: F401
+    make_mesh, shard_batch, replicate, batch_sharding, replicated_sharding)

@@ -1,0 +1,50 @@
+"""Data-parallel mesh + sharding helpers (SURVEY.md N13, §2.3-2.4).
+
+Reference equivalent: NONE — the reference is single-process single-device.
+The TPU-native design: a 1-D ``jax.sharding.Mesh(('data',))``; the global
+batch is sharded on 'data', parameters are replicated, and the gradient
+allreduce over ICI is emitted by XLA from the sharding annotations — no
+hand-written collectives anywhere (scaling-book recipe).  A single chip is a
+mesh of size 1: one code path for every scale.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh()`` and
+the same program spans hosts (DCN between slices handled by the runtime).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(dp: int = 0, devices=None) -> Mesh:
+    """1-D data-parallel mesh over ``dp`` devices (0 = all visible)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = dp if dp > 0 else len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested dp={n} but only {len(devices)} devices")
+    return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded across 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Put host batch(es) on device, leading axis split across the mesh."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params / optimizer state) across the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

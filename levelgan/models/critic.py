@@ -1,0 +1,62 @@
+"""Critic / Discriminator (Flax linen) — conv downsampling mirror of G.
+
+Reference equivalent: torch ``Discriminator(nn.Module)`` (SURVEY.md R3).
+One module serves both roles: raw score output; vanilla GAN treats it as a
+logit (BCE), WGAN-GP as a critic value.  GroupNorm (never BatchNorm) so the
+WGAN gradient penalty stays per-sample valid, skipped on the first layer per
+standard WGAN-GP practice.  Conditioning: condition embedding is broadcast
+and concatenated as extra input channels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import flax.linen as nn
+import jax.numpy as jnp
+
+from levelgan.config import ModelConfig
+from levelgan.ops.blocks import group_norm, leaky_relu
+
+
+class Critic(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, cond=None):
+        """x [B,H,W,n_tiles] (one-hot or soft), cond [B,cond_dim] -> [B] score."""
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        x = x.astype(dtype)
+        n = int(np.log2(cfg.level_size // 4))
+        chans = [min(cfg.critic_base_channels * 2 ** i, cfg.max_channels)
+                 for i in range(n)]
+
+        if cfg.cond_dim:
+            if cond is None:
+                raise ValueError("conditional critic called without cond")
+            emb = leaky_relu(nn.Dense(
+                cfg.cond_embed_dim, dtype=dtype, param_dtype=jnp.float32,
+                kernel_init=nn.initializers.normal(0.02), name="cond_embed")(
+                    cond.astype(dtype)), cfg.leaky_slope)
+            emb = jnp.broadcast_to(emb[:, None, None, :],
+                                   x.shape[:3] + (emb.shape[-1],))
+            x = jnp.concatenate([x, emb], axis=-1)
+
+        for i, ch in enumerate(chans):
+            x = nn.Conv(ch, (4, 4), strides=(2, 2), padding="SAME",
+                        dtype=dtype, param_dtype=jnp.float32,
+                        kernel_init=nn.initializers.normal(0.02),
+                        name=f"down{i}")(x)
+            if i > 0 and cfg.norm != "none":
+                gamma = self.param(f"scale{i}", nn.initializers.ones,
+                                   (ch,), jnp.float32)
+                beta = self.param(f"bias{i}", nn.initializers.zeros,
+                                  (ch,), jnp.float32)
+                x = group_norm(x, gamma, beta, cfg.group_size).astype(dtype)
+            x = leaky_relu(x, cfg.leaky_slope)
+
+        x = x.reshape(x.shape[0], -1)
+        score = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
+                         kernel_init=nn.initializers.normal(0.02),
+                         name="head")(x.astype(jnp.float32))
+        return score.squeeze(-1)

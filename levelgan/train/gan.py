@@ -1,0 +1,103 @@
+"""Vanilla (non-saturating) GAN train step — config 1 (toy DCGAN).
+
+Reference equivalent: the eager alternating G/D loop with BCE losses
+(SURVEY.md §3.1, R4).  TPU-first: the ENTIRE step — on-device augment +
+one-hot encode, D update, G update, metrics — is one jit-compiled pure
+function ``(state, batch_ids, ...) -> (state, metrics)``; the host loop only
+feeds uint8 ids and logs.  Under a data mesh the batch arrives sharded on
+'data' and XLA inserts the ICI gradient allreduce automatically.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from levelgan.config import Config
+from levelgan.data.augment import augment
+from levelgan.data.codec import decode, encode
+from levelgan.data.features import level_features
+from levelgan.lio.metrics import tile_histogram
+from levelgan.models import Critic, Generator, sample_head
+from levelgan.ops.gumbel import tau_schedule
+from levelgan.train.state import GANState, make_optimizers
+
+
+def prepare_real(cfg: Config, key, batch_ids):
+    """On-device: (augment) -> features -> one-hot encode."""
+    ids = augment(key, batch_ids) if cfg.data.augment else batch_ids
+    cond = level_features(ids) if cfg.model.cond_dim else None
+    real = encode(ids, cfg.model.n_tiles, dtype=jnp.float32)
+    return real, cond
+
+
+def current_tau(cfg: Config, step):
+    m = cfg.model
+    return tau_schedule(step, m.tau_start, m.tau_end, m.tau_anneal_steps)
+
+
+def make_gan_step(cfg: Config):
+    """Build the jit-able vanilla GAN step. Batch: uint8 ids [B, H, W]."""
+    m = cfg.model
+    gen, critic = Generator(m), Critic(m)
+    tx_g, tx_d = make_optimizers(cfg)
+    label_smooth = 0.9  # soft real targets for D (standard DCGAN stabilizer)
+
+    def g_sample(params_g, key, z, cond, step):
+        logits = gen.apply({"params": params_g}, z, cond)
+        tau = current_tau(cfg, step)
+        return sample_head(key, logits, m.head, tau)
+
+    def step_fn(state: GANState, batch_ids: jax.Array):
+        base = jax.random.fold_in(state.rng, state.step)
+        k_aug, k_z1, k_s1, k_z2, k_s2 = jax.random.split(base, 5)
+        bsz = batch_ids.shape[0]
+
+        real, cond = prepare_real(cfg, k_aug, batch_ids)
+
+        # --- D update -------------------------------------------------------
+        z1 = jax.random.normal(k_z1, (bsz, m.latent_dim), jnp.float32)
+        fake = jax.lax.stop_gradient(
+            g_sample(state.generator, k_s1, z1, cond, state.step))
+
+        def d_loss_fn(params_d):
+            d_real = critic.apply({"params": params_d}, real, cond)
+            d_fake = critic.apply({"params": params_d}, fake, cond)
+            loss = (optax.sigmoid_binary_cross_entropy(
+                        d_real, jnp.full_like(d_real, label_smooth)).mean()
+                    + optax.sigmoid_binary_cross_entropy(
+                        d_fake, jnp.zeros_like(d_fake)).mean())
+            return loss, (d_real.mean(), d_fake.mean())
+
+        (d_loss, (dr, df)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.discriminator)
+        d_updates, opt_d = tx_d.update(d_grads, state.opt_d, state.discriminator)
+        params_d = optax.apply_updates(state.discriminator, d_updates)
+
+        # --- G update -------------------------------------------------------
+        z2 = jax.random.normal(k_z2, (bsz, m.latent_dim), jnp.float32)
+
+        def g_loss_fn(params_g):
+            fake2 = g_sample(params_g, k_s2, z2, cond, state.step)
+            d_out = critic.apply({"params": params_d}, fake2, cond)
+            loss = optax.sigmoid_binary_cross_entropy(
+                d_out, jnp.ones_like(d_out)).mean()
+            return loss, fake2
+
+        (g_loss, fake2), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.generator)
+        g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.generator)
+        params_g = optax.apply_updates(state.generator, g_updates)
+
+        new_state = state.replace(
+            step=state.step + 1, generator=params_g, discriminator=params_d,
+            opt_g=opt_g, opt_d=opt_d)
+        metrics = {
+            "d_loss": d_loss, "g_loss": g_loss,
+            "d_real": dr, "d_fake": df,
+            "gen_hist": tile_histogram(decode(fake2), m.n_tiles),
+        }
+        return new_state, metrics
+
+    return step_fn

@@ -1,0 +1,66 @@
+"""Train state: one immutable pytree carried through the jit step.
+
+Reference equivalent: scattered torch Modules + two Adam optimizers + a step
+counter (SURVEY.md R1/R11).  Here: a single ``flax.struct`` dataclass so the
+whole training state is a pytree — donate-able, shardable, checkpointable as
+one tree with the reference checkpoint key layout (generator / discriminator
+/ opt_g / opt_d / step / rng).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from levelgan.config import Config
+from levelgan.models import Critic, Generator
+
+
+@flax.struct.dataclass
+class GANState:
+    step: jax.Array                 # i32 scalar
+    rng: jax.Array                  # root PRNG key; per-step keys fold in step
+    generator: Any                  # G params pytree
+    discriminator: Any              # D/critic params pytree
+    opt_g: Any                      # optax state
+    opt_d: Any
+    g_baseline: jax.Array = flax.struct.field(default_factory=lambda: jnp.zeros(()))
+
+
+def make_optimizers(cfg: Config):
+    t = cfg.train
+    tx_g = optax.adam(t.lr_g, b1=t.beta1, b2=t.beta2)
+    tx_d = optax.adam(t.lr_d, b1=t.beta1, b2=t.beta2)
+    return tx_g, tx_d
+
+
+def create_state(cfg: Config, key: jax.Array | None = None) -> GANState:
+    """Initialize params + optimizer state. Call under jit/sharding for
+    on-device init (api.train does)."""
+    if key is None:
+        key = jax.random.key(cfg.train.seed)
+    k_g, k_d, k_root = jax.random.split(key, 3)
+    m = cfg.model
+    gen, critic = Generator(m), Critic(m)
+    z = jnp.zeros((2, m.latent_dim), jnp.float32)
+    x = jnp.zeros((2, m.level_size, m.level_size, m.n_tiles), jnp.float32)
+    cond = jnp.zeros((2, m.cond_dim), jnp.float32) if m.cond_dim else None
+    params_g = gen.init(k_g, z, cond)["params"]
+    params_d = critic.init(k_d, x, cond)["params"]
+    tx_g, tx_d = make_optimizers(cfg)
+    return GANState(
+        step=jnp.zeros((), jnp.int32),
+        rng=k_root,
+        generator=params_g,
+        discriminator=params_d,
+        opt_g=tx_g.init(params_g),
+        opt_d=tx_d.init(params_d),
+    )
+
+
+def param_count(tree) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))

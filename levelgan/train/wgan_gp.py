@@ -1,0 +1,101 @@
+"""WGAN-GP train step — configs 2-4 (and the GAN half of config 5).
+
+Reference equivalent: the eager n_critic loop with torch double-backward GP
+(SURVEY.md §3.1).  TPU-first: the n_critic critic updates run as a
+``lax.scan`` INSIDE one jit step — the step consumes a super-batch of
+``n_critic`` real minibatches (shape [n_critic, B, H, W]) so the whole
+critic schedule plus the generator update is a single XLA program with zero
+host round-trips.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from levelgan.config import Config
+from levelgan.data.codec import decode
+from levelgan.data.features import level_features
+from levelgan.lio.metrics import tile_histogram
+from levelgan.models import Critic, Generator, sample_head
+from levelgan.ops.grad_penalty import gradient_penalty
+from levelgan.train.gan import current_tau, prepare_real
+from levelgan.train.state import GANState, make_optimizers
+
+
+def make_wgan_gp_step(cfg: Config):
+    """Build the jit-able WGAN-GP step. Batch: uint8 ids [n_critic, B, H, W]."""
+    m, t = cfg.model, cfg.train
+    gen, critic = Generator(m), Critic(m)
+    tx_g, tx_d = make_optimizers(cfg)
+
+    def d_apply(params_d, x, cond):
+        return critic.apply({"params": params_d}, x, cond)
+
+    def g_sample(params_g, key, z, cond, step):
+        logits = gen.apply({"params": params_g}, z, cond)
+        return sample_head(key, logits, m.head, current_tau(cfg, step))
+
+    def step_fn(state: GANState, batch_ids: jax.Array):
+        assert batch_ids.ndim == 4, "wgan_gp expects [n_critic, B, H, W]"
+        n_critic, bsz = batch_ids.shape[0], batch_ids.shape[1]
+        base = jax.random.fold_in(state.rng, state.step)
+        iter_keys = jax.random.split(jax.random.fold_in(base, 0), n_critic)
+        k_zg, k_sg = jax.random.split(jax.random.fold_in(base, 1))
+
+        # ---- critic updates: lax.scan over n_critic minibatches ------------
+        def critic_iter(carry, xs):
+            params_d, opt_d = carry
+            ids, k = xs
+            k_aug, k_z, k_s, k_eps = jax.random.split(k, 4)
+            real, cond = prepare_real(cfg, k_aug, ids)
+            z = jax.random.normal(k_z, (bsz, m.latent_dim), jnp.float32)
+            fake = jax.lax.stop_gradient(
+                g_sample(state.generator, k_s, z, cond, state.step))
+
+            def d_loss_fn(pd):
+                d_real = d_apply(pd, real, cond)
+                d_fake = d_apply(pd, fake, cond)
+                gp = gradient_penalty(d_apply, pd, k_eps, real, fake, cond)
+                wdist = d_real.mean() - d_fake.mean()
+                loss = -wdist + t.gp_lambda * gp
+                return loss, (gp, wdist)
+
+            (d_loss, (gp, wdist)), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(params_d)
+            updates, opt_d = tx_d.update(grads, opt_d, params_d)
+            params_d = optax.apply_updates(params_d, updates)
+            return (params_d, opt_d), {"d_loss": d_loss, "gp": gp, "wdist": wdist}
+
+        (params_d, opt_d), it = jax.lax.scan(
+            critic_iter, (state.discriminator, state.opt_d),
+            (batch_ids, iter_keys))
+
+        # ---- generator update ----------------------------------------------
+        # Condition features are D4-invariant, so take them straight from the
+        # last (un-augmented) real minibatch.
+        cond_g = level_features(batch_ids[-1]) if m.cond_dim else None
+        z = jax.random.normal(k_zg, (bsz, m.latent_dim), jnp.float32)
+
+        def g_loss_fn(pg):
+            fake = g_sample(pg, k_sg, z, cond_g, state.step)
+            loss = -d_apply(params_d, fake, cond_g).mean()
+            return loss, fake
+
+        (g_loss, fake), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.generator)
+        g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.generator)
+        params_g = optax.apply_updates(state.generator, g_updates)
+
+        new_state = state.replace(
+            step=state.step + 1, generator=params_g, discriminator=params_d,
+            opt_g=opt_g, opt_d=opt_d)
+        metrics = {
+            "d_loss": it["d_loss"][-1], "g_loss": g_loss,
+            "gp": it["gp"][-1], "wdist": it["wdist"][-1],
+            "gen_hist": tile_histogram(decode(fake), m.n_tiles),
+        }
+        return new_state, metrics
+
+    return step_fn

@@ -1,0 +1,80 @@
+import glob
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from levelgan.config import preset
+from levelgan.lio.checkpoint import (all_checkpoints, latest_checkpoint,
+                                     load_checkpoint, load_manifest,
+                                     save_checkpoint)
+from levelgan.train.state import create_state
+
+TINY = {
+    "model.base_channels": 16, "model.critic_base_channels": 16,
+    "model.latent_dim": 16, "model.group_size": 8,
+    "train.batch_size": 8, "data.corpus_size": 32,
+}
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return preset("toy_dcgan_16").override(**TINY)
+
+
+def _assert_tree_equal(a, b):
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        a, b)
+
+
+def test_roundtrip(cfg, tmp_path):
+    state = create_state(cfg)
+    path = save_checkpoint(str(tmp_path), state, cfg)
+    assert os.path.basename(path) == "step_00000000"
+
+    restored, cfg2 = load_checkpoint(path, create_state(cfg, jax.random.key(99)))
+    assert cfg2 == cfg
+    for field in ("generator", "discriminator", "opt_g", "opt_d"):
+        _assert_tree_equal(getattr(state, field), getattr(restored, field))
+    assert int(restored.step) == int(state.step)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored.rng)),
+        np.asarray(jax.random.key_data(state.rng)))
+
+
+def test_reference_key_layout(cfg, tmp_path):
+    """Top-level key namespaces match the reference semantics (SURVEY §5.4)."""
+    path = save_checkpoint(str(tmp_path), create_state(cfg), cfg)
+    manifest = load_manifest(path)
+    tops = {k.split("/")[0] for k in manifest["keys"]}
+    assert {"generator", "discriminator", "opt_g", "opt_d",
+            "step", "rng"} <= tops
+    assert manifest["config"]["model"]["level_size"] == 16
+
+
+def test_latest_and_keep(cfg, tmp_path):
+    state = create_state(cfg)
+    for s in (1, 2, 3, 4):
+        state = state.replace(step=jax.numpy.asarray(s, jax.numpy.int32))
+        save_checkpoint(str(tmp_path), state, cfg, keep=2)
+    ckpts = all_checkpoints(str(tmp_path))
+    assert [os.path.basename(c) for c in ckpts] == \
+        ["step_00000003", "step_00000004"]
+    assert latest_checkpoint(str(tmp_path)).endswith("step_00000004")
+    assert latest_checkpoint(str(tmp_path / "nope")) is None
+
+
+def test_no_partial_checkpoints(cfg, tmp_path):
+    """Atomicity: no .tmp_* dirs remain after save."""
+    save_checkpoint(str(tmp_path), create_state(cfg), cfg)
+    assert not glob.glob(str(tmp_path / ".tmp_*"))
+
+
+def test_shape_mismatch_rejected(cfg, tmp_path):
+    path = save_checkpoint(str(tmp_path), create_state(cfg), cfg)
+    other = preset("toy_dcgan_16").override(
+        **{**TINY, "model.base_channels": 32})
+    with pytest.raises((ValueError, KeyError)):
+        load_checkpoint(path, create_state(other))

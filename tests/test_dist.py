@@ -1,0 +1,74 @@
+"""Distributed tier (SURVEY.md §4.2): DP on a fake 8-device mesh must match
+the single-device step on the same global batch."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from levelgan.config import preset
+from levelgan.dist.mesh import make_mesh, replicated_sharding, shard_batch
+from levelgan.train.gan import make_gan_step
+from levelgan.train.state import create_state
+
+TINY = {
+    "model.base_channels": 16, "model.critic_base_channels": 16,
+    "model.latent_dim": 16, "model.group_size": 8,
+    "train.batch_size": 16, "data.corpus_size": 32,
+    # f32 compute: the mesh-equivalence check compares post-Adam params,
+    # and Adam normalizes away gradient scale — bf16 reduction-order noise
+    # would dominate the comparison.
+    "model.dtype": "float32",
+}
+
+
+def _run_steps(cfg, mesh, batches):
+    repl = replicated_sharding(mesh)
+    b_shard = NamedSharding(mesh, P("data"))
+    state = jax.jit(lambda k: create_state(cfg, k), out_shardings=repl)(
+        jax.random.key(0))
+    step = jax.jit(make_gan_step(cfg), in_shardings=(repl, b_shard))
+    for b in batches:
+        state, m = step(state, jax.device_put(b, b_shard))
+    return jax.device_get(state), jax.device_get(m)
+
+
+def test_mesh_sizes(devices8):
+    assert make_mesh(0).devices.size == 8
+    assert make_mesh(2).devices.size == 2
+    with pytest.raises(ValueError):
+        make_mesh(16)
+
+
+def test_shard_batch_places_on_mesh(devices8):
+    mesh = make_mesh(4)
+    x = shard_batch(mesh, np.zeros((16, 8, 8), np.uint8))
+    assert len(x.devices()) == 4
+
+
+def test_dp8_matches_single_device(devices8):
+    """Same global batch: 8-way DP step == single-device step (grad pmean
+    emitted by XLA from shardings)."""
+    cfg = preset("toy_dcgan_16").override(**TINY)
+    rng = np.random.default_rng(0)
+    batches = [rng.integers(0, 8, size=(16, 16, 16)).astype(np.uint8)
+               for _ in range(2)]
+
+    state1, m1 = _run_steps(cfg, make_mesh(1), batches)
+    state8, m8 = _run_steps(cfg, make_mesh(8), batches)
+
+    assert np.isfinite(m8["d_loss"])
+    np.testing.assert_allclose(m1["d_loss"], m8["d_loss"], rtol=2e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=5e-4, atol=5e-6),
+        state1.generator, state8.generator)
+
+
+def test_batch_not_divisible_rejected(devices8):
+    from levelgan.api import train
+    cfg = preset("toy_dcgan_16").override(
+        **{**TINY, "train.batch_size": 12, "dist.dp": 8})
+    with pytest.raises(ValueError):
+        train(cfg)

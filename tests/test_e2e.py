@@ -1,0 +1,98 @@
+"""Integration tier (SURVEY.md §4.2): end-to-end api.train + CLIs."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from levelgan.api import generate, train
+from levelgan.cli.export import main as export_main
+from levelgan.cli.train import main as train_main
+from levelgan.config import preset
+
+TINY = {
+    "model.base_channels": 16, "model.critic_base_channels": 16,
+    "model.latent_dim": 16, "model.group_size": 8,
+    "train.batch_size": 8, "data.corpus_size": 64,
+    "io.log_every": 2, "io.ckpt_every": 4,
+}
+
+
+def test_train_e2e_and_resume(tmp_path):
+    cfg = preset("toy_dcgan_16").override(
+        **TINY, **{"train.steps": 6, "io.out_dir": str(tmp_path)})
+    res = train(cfg, echo=False)
+    assert os.path.exists(res["checkpoint"])
+    assert np.isfinite(res["metrics"]["d_loss"])
+    assert np.isfinite(res["kl"])
+
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert lines[-1]["step"] == 6 and "kl" in lines[-1]
+
+    # fault-recovery semantics: resume from latest and continue to 8
+    cfg2 = cfg.override(**{"train.steps": 8, "io.resume": "auto"})
+    res2 = train(cfg2, echo=False)
+    assert int(np.asarray(res2["state"].step)) == 8
+
+
+def test_determinism_same_seed(tmp_path):
+    outs = []
+    for d in ("a", "b"):
+        cfg = preset("toy_dcgan_16").override(
+            **TINY, **{"train.steps": 4, "io.out_dir": str(tmp_path / d)})
+        res = train(cfg, echo=False)
+        outs.append(jax.device_get(res["state"].generator))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), outs[0], outs[1])
+
+
+def test_generate_and_export_cli(tmp_path):
+    cfg = preset("toy_dcgan_16").override(
+        **TINY, **{"train.steps": 2, "io.out_dir": str(tmp_path)})
+    res = train(cfg, echo=False)
+
+    levels = generate(cfg, res["state"].generator, 10, batch_size=4)
+    assert levels.shape == (10, 16, 16) and levels.dtype == np.uint8
+    assert (levels < cfg.model.n_tiles).all()
+
+    out = str(tmp_path / "levels.npz")
+    export_main(["--ckpt", res["checkpoint"], "--n", "6", "--out", out,
+                 "--batch", "4"])
+    assert np.load(out)["levels"].shape == (6, 16, 16)
+
+    txt = str(tmp_path / "levels.txt")
+    export_main(["--ckpt", res["checkpoint"], "--n", "2", "--out", txt,
+                 "--batch", "2"])
+    assert len(open(txt).read().splitlines()) >= 32
+
+
+def test_train_cli(tmp_path):
+    rc = train_main([
+        "--preset", "toy_dcgan_16", "--out", str(tmp_path),
+        "--set", "train.steps=2", "--set", "train.batch_size=8",
+        "--set", "model.base_channels=16", "--set", "model.group_size=8",
+        "--set", "model.latent_dim=16", "--set", "data.corpus_size=32",
+        "--set", "io.log_every=1", "--set", "io.ckpt_every=10"])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "ckpt" / "step_00000002")
+
+
+def test_train_cli_bad_set():
+    with pytest.raises(SystemExit):
+        train_main(["--set", "nonsense"])
+
+
+def test_export_cli_cond_validation(tmp_path):
+    cfg = preset("conditional_32").override(
+        **TINY, **{"train.steps": 1, "train.n_critic": 1,
+                   "io.out_dir": str(tmp_path)})
+    res = train(cfg, echo=False)
+    with pytest.raises(SystemExit):
+        export_main(["--ckpt", res["checkpoint"], "--n", "2",
+                     "--out", str(tmp_path / "x.npz"), "--cond", "0.5"])
+    export_main(["--ckpt", res["checkpoint"], "--n", "2", "--batch", "2",
+                 "--out", str(tmp_path / "x.npz"),
+                 "--cond", "0.3,0.05,0.05,0.4"])
+    assert os.path.exists(tmp_path / "x.npz")

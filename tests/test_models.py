@@ -1,0 +1,77 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from levelgan.config import ModelConfig
+from levelgan.models import Critic, Generator, generator_stages, sample_head
+
+
+def _init(m, batch=2):
+    gen, critic = Generator(m), Critic(m)
+    z = jnp.zeros((batch, m.latent_dim))
+    x = jnp.zeros((batch, m.level_size, m.level_size, m.n_tiles))
+    cond = jnp.zeros((batch, m.cond_dim)) if m.cond_dim else None
+    pg = gen.init(jax.random.key(0), z, cond)["params"]
+    pd = critic.init(jax.random.key(1), x, cond)["params"]
+    return gen, critic, pg, pd, z, x, cond
+
+
+@pytest.mark.parametrize("size", [16, 32, 64])
+def test_shapes(size):
+    m = ModelConfig(level_size=size, base_channels=16, group_size=8,
+                    latent_dim=8)
+    gen, critic, pg, pd, z, x, cond = _init(m)
+    logits = gen.apply({"params": pg}, z)
+    assert logits.shape == (2, size, size, m.n_tiles)
+    assert logits.dtype == jnp.float32
+    scores = critic.apply({"params": pd}, x)
+    assert scores.shape == (2,)
+
+
+def test_stage_count():
+    assert len(generator_stages(ModelConfig(level_size=16))) == 2
+    assert len(generator_stages(ModelConfig(level_size=64))) == 4
+    with pytest.raises(ValueError):
+        generator_stages(ModelConfig(level_size=24))
+
+
+def test_conditional_paths():
+    m = ModelConfig(level_size=16, cond_dim=4, base_channels=16,
+                    group_size=8, latent_dim=8)
+    gen, critic, pg, pd, z, x, cond = _init(m)
+    l1 = gen.apply({"params": pg}, z, jnp.zeros((2, 4)))
+    l2 = gen.apply({"params": pg}, z, jnp.ones((2, 4)))
+    assert not np.allclose(np.asarray(l1), np.asarray(l2))
+    with pytest.raises(ValueError):
+        gen.apply({"params": pg}, z, None)
+    s1 = critic.apply({"params": pd}, x, jnp.zeros((2, 4)))
+    s2 = critic.apply({"params": pd}, x, jnp.ones((2, 4)))
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_sample_heads():
+    logits = jax.random.normal(jax.random.key(0), (4, 8, 8, 6))
+    key = jax.random.key(1)
+    soft = sample_head(key, logits, "softmax")
+    np.testing.assert_allclose(np.asarray(soft.sum(-1)), 1.0, rtol=1e-5)
+    hard = sample_head(key, logits, "gumbel", tau=0.7)
+    assert set(np.unique(np.asarray(hard))) <= {0.0, 1.0}
+    arg = sample_head(key, logits, "argmax")
+    np.testing.assert_array_equal(
+        np.asarray(arg.argmax(-1)), np.asarray(logits.argmax(-1)))
+    with pytest.raises(ValueError):
+        sample_head(key, logits, "nope")
+
+
+def test_generator_grads_flow():
+    m = ModelConfig(level_size=16, base_channels=16, group_size=8, latent_dim=8)
+    gen, critic, pg, pd, z, x, cond = _init(m)
+    z = jax.random.normal(jax.random.key(5), z.shape)
+
+    def loss(pg):
+        return (gen.apply({"params": pg}, z) ** 2).mean()
+
+    grads = jax.grad(loss)(pg)
+    norms = [float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads)]
+    assert all(np.isfinite(norms)) and sum(norms) > 0

@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from levelgan.config import preset
+from levelgan.data.dataset import synthetic_corpus
+from levelgan.train.gan import make_gan_step
+from levelgan.train.state import create_state
+from levelgan.train.wgan_gp import make_wgan_gp_step
+
+TINY = {
+    "model.base_channels": 16, "model.critic_base_channels": 16,
+    "model.latent_dim": 16, "model.group_size": 8,
+    "train.batch_size": 8, "data.corpus_size": 32,
+}
+
+
+@pytest.fixture(scope="module")
+def tiny_gan_cfg():
+    return preset("toy_dcgan_16").override(**TINY)
+
+
+@pytest.fixture(scope="module")
+def tiny_wgan_cfg():
+    return preset("wgan_gp_32").override(**TINY, **{"train.n_critic": 2})
+
+
+def _batch(cfg, n_critic=None, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (cfg.train.batch_size, cfg.model.level_size, cfg.model.level_size)
+    if n_critic:
+        shape = (n_critic,) + shape
+    return rng.integers(0, cfg.model.n_tiles, size=shape).astype(np.uint8)
+
+
+def test_gan_step_runs_and_is_finite(tiny_gan_cfg):
+    cfg = tiny_gan_cfg
+    state = create_state(cfg)
+    step = jax.jit(make_gan_step(cfg))
+    for i in range(3):
+        state, m = step(state, _batch(cfg, seed=i))
+    assert int(state.step) == 3
+    for k in ("d_loss", "g_loss", "d_real", "d_fake"):
+        assert np.isfinite(float(m[k])), k
+    assert float(m["gen_hist"].sum()) == cfg.train.batch_size * 16 * 16
+
+
+def test_gan_step_deterministic(tiny_gan_cfg):
+    cfg = tiny_gan_cfg
+    step = jax.jit(make_gan_step(cfg))
+    outs = []
+    for _ in range(2):
+        state = create_state(cfg)
+        state, m = step(state, _batch(cfg))
+        outs.append((float(m["d_loss"]), jax.device_get(state.generator)))
+    assert outs[0][0] == outs[1][0]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        outs[0][1], outs[1][1])
+
+
+def test_gan_step_changes_params(tiny_gan_cfg):
+    cfg = tiny_gan_cfg
+    state = create_state(cfg)
+    before = jax.device_get(state.generator)
+    state, _ = jax.jit(make_gan_step(cfg))(state, _batch(cfg))
+    after = jax.device_get(state.generator)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), before, after)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_wgan_step_runs(tiny_wgan_cfg):
+    cfg = tiny_wgan_cfg
+    state = create_state(cfg)
+    step = jax.jit(make_wgan_gp_step(cfg))
+    batch = _batch(cfg, n_critic=cfg.train.n_critic)
+    state, m = step(state, batch)
+    for k in ("d_loss", "g_loss", "gp", "wdist"):
+        assert np.isfinite(float(m[k])), k
+    assert float(m["gp"]) >= 0
+    assert int(state.step) == 1
+
+
+def test_wgan_gp_decreases_on_trained_critic(tiny_wgan_cfg):
+    """A few critic updates should push the GP term down from init."""
+    cfg = tiny_wgan_cfg
+    state = create_state(cfg)
+    step = jax.jit(make_wgan_gp_step(cfg))
+    gps = []
+    for i in range(6):
+        state, m = step(state, _batch(cfg, n_critic=cfg.train.n_critic, seed=i))
+        gps.append(float(m["gp"]))
+    assert gps[-1] < gps[0]
+
+
+def test_gan_learns_toy_distribution(tiny_gan_cfg):
+    """Statistical tier (SURVEY.md §4.2): 150 steps on a structured corpus
+    drive the generated tile histogram toward the corpus — KL must drop
+    substantially (measured trajectory: ~0.68 -> ~0.3)."""
+    from levelgan.lio.metrics import kl_divergence
+
+    cfg = tiny_gan_cfg.override(**{"train.batch_size": 16})
+    corpus = synthetic_corpus(64, 16, seed=9)
+    rng = np.random.default_rng(0)
+    ref = np.bincount(corpus.reshape(-1), minlength=8).astype(np.float64)
+    state = create_state(cfg)
+    step = jax.jit(make_gan_step(cfg))
+    kls = []
+    for i in range(150):
+        idx = rng.integers(0, len(corpus), cfg.train.batch_size)
+        state, m = step(state, corpus[idx])
+        kls.append(float(kl_divergence(np.asarray(m["gen_hist"]), ref)))
+        assert np.isfinite(float(m["d_loss"]))
+    assert np.mean(kls[-10:]) < 0.7 * np.mean(kls[:10])
