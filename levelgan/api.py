@@ -70,13 +70,23 @@ def make_step_fn(cfg: Config):
         return make_gan_step(cfg), "gan"
     if cfg.train.loss == "wgan_gp":
         return make_wgan_gp_step(cfg), "wgan_gp"
+    if cfg.train.loss == "curriculum":
+        from levelgan.train.curriculum import make_curriculum_step
+        return make_curriculum_step(cfg), "curriculum"
     raise ValueError(f"unknown loss '{cfg.train.loss}'")
+
+
+def make_state(cfg: Config, key):
+    if cfg.train.loss == "curriculum":
+        from levelgan.train.curriculum import create_curriculum_state
+        return create_curriculum_state(cfg, key)
+    return create_state(cfg, key)
 
 
 def sample_batch(cfg: Config, ds: LevelDataset, kind: str) -> np.ndarray:
     """Host-side: raw uint8 ids in the shape the step consumes."""
     b = cfg.train.batch_size
-    if kind == "wgan_gp":
+    if kind in ("wgan_gp", "curriculum"):
         n = cfg.train.n_critic
         flat = ds.sample(n * b)
         return flat.reshape(n, b, *flat.shape[1:])
@@ -85,7 +95,7 @@ def sample_batch(cfg: Config, ds: LevelDataset, kind: str) -> np.ndarray:
 
 def batch_spec(kind: str) -> P:
     # batch axis is sharded on 'data'; the n_critic super-axis is replicated
-    return P(None, "data") if kind == "wgan_gp" else P("data")
+    return P(None, "data") if kind in ("wgan_gp", "curriculum") else P("data")
 
 
 def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
@@ -105,7 +115,7 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
 
     # on-device, replicated param init (single program, any mesh size)
     state = jax.jit(
-        lambda k: create_state(cfg, k), out_shardings=repl)(
+        lambda k: make_state(cfg, k), out_shardings=repl)(
             jax.random.key(cfg.train.seed))
 
     ckpt_dir = f"{cfg.io.out_dir}/ckpt"

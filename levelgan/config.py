@@ -220,7 +220,8 @@ def preset(name: str) -> Config:
         "curriculum_16": Config(
             preset="curriculum_16",
             model=ModelConfig(level_size=16, head="gumbel"),
-            train=TrainConfig(loss="wgan_gp", batch_size=64, steps=3000,
+            train=TrainConfig(loss="curriculum", batch_size=64, steps=3000,
+                              n_critic=3,
                               lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
             curriculum=CurriculumConfig(),
         ),

@@ -1,0 +1,159 @@
+"""Batched playability environment: agents play tile levels, fully in XLA.
+
+Reference equivalent: the torch game simulation used to score generated
+levels (SURVEY.md R7 — a racing game there; here, matched to the tile-grid
+domain of the [NS] configs: grid navigation with walls/hazards/coins/terrain).
+
+TPU-first (SURVEY.md §3.4): the episode time loop is ``lax.scan`` INSIDE the
+jit program, ``vmap``-batched over levels — one XLA program per rollout, no
+host stepping.  Everything is static-shape; "done" episodes keep stepping but
+rewards/transitions are masked.
+
+Game rules (per step):
+  actions 0..3 = up/down/left/right
+  - moving into a WALL or off-grid: stay in place
+  - ICE: slide one extra cell in the move direction (if not blocked)
+  - SAND: extra movement penalty
+  - HAZARD: penalty (episode continues)
+  - COIN: +0.2 once per coin (collected mask)
+  - GOAL: +1.0, episode done
+  - every step: -0.01 time penalty
+Start: first START tile if present, else grid center.
+Playability of a level = did the agent reach the goal within T steps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from levelgan.config import COIN, GOAL, HAZARD, START, WALL
+from levelgan.data.dataset import ICE, SAND
+
+
+class EnvParams(NamedTuple):
+    rollout_steps: int = 48
+    gamma: float = 0.97
+    step_penalty: float = 0.01
+    hazard_penalty: float = 0.5
+    sand_penalty: float = 0.02
+    coin_reward: float = 0.2
+    goal_reward: float = 1.0
+
+
+_DELTAS = jnp.asarray([[-1, 0], [1, 0], [0, -1], [0, 1]], jnp.int32)
+
+
+def start_positions(ids: jax.Array) -> jax.Array:
+    """[B,H,W] ids -> [B,2] start coords (first START, else center)."""
+    b, h, w = ids.shape
+    flat = (ids == START).reshape(b, -1)
+    has_start = flat.any(axis=-1)
+    idx = jnp.argmax(flat, axis=-1)
+    pos = jnp.stack([idx // w, idx % w], axis=-1).astype(jnp.int32)
+    center = jnp.asarray([h // 2, w // 2], jnp.int32)
+    return jnp.where(has_start[:, None], pos, center)
+
+
+def _tile_at(ids: jax.Array, pos: jax.Array) -> jax.Array:
+    """[H,W] ids, [2] pos -> tile id (single sample; vmap over batch)."""
+    return ids[pos[0], pos[1]]
+
+
+def transition(ids: jax.Array, pos: jax.Array, action: jax.Array,
+               coins_taken: jax.Array, done: jax.Array, p: EnvParams):
+    """One env step for a batch. ids [B,H,W], pos [B,2], action [B],
+    coins_taken [B,H,W] bool, done [B] bool.
+    Returns (new_pos, reward, new_done, new_coins_taken)."""
+    h, w = ids.shape[1], ids.shape[2]
+    hi = jnp.asarray([h - 1, w - 1], jnp.int32)
+    delta = _DELTAS[action]
+
+    def step_one(ids1, pos1, delta1, coins1, done1):
+        prop = jnp.clip(pos1 + delta1, 0, hi)
+        blocked = _tile_at(ids1, prop) == WALL
+        new_pos = jnp.where(blocked, pos1, prop)
+        # ice slide: one extra cell if standing on ICE and not blocked
+        on_ice = _tile_at(ids1, new_pos) == ICE
+        prop2 = jnp.clip(new_pos + delta1, 0, hi)
+        slide = on_ice & (_tile_at(ids1, prop2) != WALL)
+        new_pos = jnp.where(slide, prop2, new_pos)
+        # frozen if already done
+        new_pos = jnp.where(done1, pos1, new_pos)
+
+        tile = _tile_at(ids1, new_pos)
+        fresh_coin = (tile == COIN) & ~coins1[new_pos[0], new_pos[1]]
+        reward = (-p.step_penalty
+                  + p.goal_reward * (tile == GOAL)
+                  - p.hazard_penalty * (tile == HAZARD)
+                  - p.sand_penalty * (tile == SAND)
+                  + p.coin_reward * fresh_coin)
+        reward = jnp.where(done1, 0.0, reward)
+        new_done = done1 | (tile == GOAL)
+        new_coins = coins1.at[new_pos[0], new_pos[1]].set(
+            coins1[new_pos[0], new_pos[1]] | (fresh_coin & ~done1))
+        return new_pos, reward, new_done, new_coins
+
+    return jax.vmap(step_one)(ids, pos, delta, coins_taken, done)
+
+
+def make_obs(onehot: jax.Array, pos: jax.Array,
+             coins_taken: jax.Array) -> jax.Array:
+    """Policy observation [B,H,W,C+1]: level one-hot with collected coins
+    zeroed from the COIN channel, plus an agent-position plane."""
+    b, h, w, c = onehot.shape
+    coin_mask = 1.0 - coins_taken.astype(onehot.dtype)
+    level = onehot.at[..., COIN].set(onehot[..., COIN] * coin_mask)
+    plane = jnp.zeros((b, h, w), onehot.dtype)
+    plane = plane.at[jnp.arange(b), pos[:, 0], pos[:, 1]].set(1.0)
+    return jnp.concatenate([level, plane[..., None]], axis=-1)
+
+
+class Trajectory(NamedTuple):
+    pos: jax.Array          # [T, B, 2] position BEFORE each action
+    coins: jax.Array        # [T, B, H, W] collected mask BEFORE each action
+    actions: jax.Array      # [T, B]
+    rewards: jax.Array      # [T, B]
+    active: jax.Array       # [T, B] 1.0 while episode not done at action time
+    returns: jax.Array      # [T, B] discounted reward-to-go
+    total_return: jax.Array  # [B]
+    reached: jax.Array      # [B] bool: goal reached within T
+
+
+def rollout(policy_apply, agent_params, ids: jax.Array, onehot: jax.Array,
+            key: jax.Array, p: EnvParams) -> Trajectory:
+    """Play a batch of levels for T steps with a stochastic policy.
+
+    ``policy_apply(params, obs) -> (action_logits [B,4], value [B])``.
+    Gradients are NOT taken through here — the A2C loss replays the stored
+    states (SURVEY.md §3.4; keeps the scan carry light).
+    """
+    b = ids.shape[0]
+    pos0 = start_positions(ids)
+    coins0 = jnp.zeros(ids.shape, bool)
+    done0 = jnp.zeros((b,), bool)
+
+    def env_step(carry, key_t):
+        pos, coins, done = carry
+        obs = make_obs(onehot, pos, coins)
+        logits, _ = policy_apply(agent_params, obs)
+        action = jax.random.categorical(key_t, logits, axis=-1)
+        new_pos, reward, new_done, new_coins = transition(
+            ids, pos, action, coins, done, p)
+        out = (pos, coins, action, reward, 1.0 - done.astype(jnp.float32))
+        return (new_pos, new_coins, new_done), out
+
+    keys = jax.random.split(key, p.rollout_steps)
+    (pos_f, coins_f, done_f), (pos_t, coins_t, act_t, rew_t, active_t) = \
+        jax.lax.scan(env_step, (pos0, coins0, done0), keys)
+
+    def disc(carry, r):
+        g = r + p.gamma * carry
+        return g, g
+
+    _, returns = jax.lax.scan(disc, jnp.zeros((b,)), rew_t, reverse=True)
+    return Trajectory(pos=pos_t, coins=coins_t, actions=act_t, rewards=rew_t,
+                      active=active_t, returns=returns,
+                      total_return=rew_t.sum(axis=0), reached=done_f)

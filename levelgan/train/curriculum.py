@@ -1,0 +1,179 @@
+"""Agent-in-the-loop adversarial curriculum step — config 5.
+
+Reference equivalent: the reference's signature twist (SURVEY.md R9): levels
+are scored by agents that play them, and the generator is trained to produce
+levels that are playable AND that separate strong from weak agents, via
+REINFORCE on the non-differentiable agent-derived reward.
+
+TPU-first (SURVEY.md §3.4): ONE jit program per step containing
+  1. the WGAN-GP critic updates on real levels (realism term; lax.scan),
+  2. G's Gumbel-ST level sampling,
+  3. both agents' T-step rollouts (lax.scan time loop, vmap over levels),
+  4. A2C updates for the strong and weak agents (weak learns slower ->
+     persistent skill gap),
+  5. the G update with combined loss: adversarial (-D(fake)) + REINFORCE
+     (score-function estimator: logp(level) * (reward - EMA baseline)).
+Data-parallel over the 'data' mesh axis like every other step; XLA emits the
+ICI allreduce for G/D/agent grads alike.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from levelgan.config import Config
+from levelgan.data.codec import decode, encode
+from levelgan.env.agent import agent_update, init_agent, policy_apply
+from levelgan.env.sim import EnvParams, rollout
+from levelgan.lio.metrics import tile_histogram
+from levelgan.models import Critic, Generator, sample_head
+from levelgan.ops.grad_penalty import gradient_penalty
+from levelgan.train.gan import current_tau, prepare_real
+from levelgan.train.state import GANState, create_state, make_optimizers
+
+
+@flax.struct.dataclass
+class CurriculumState(GANState):
+    agent_strong: Any = None
+    agent_weak: Any = None
+    opt_as: Any = None
+    opt_aw: Any = None
+
+
+def make_agent_optimizers(cfg: Config):
+    return (optax.adam(cfg.curriculum.agent_lr),
+            optax.adam(cfg.curriculum.weak_agent_lr))
+
+
+def create_curriculum_state(cfg: Config, key=None) -> CurriculumState:
+    if key is None:
+        key = jax.random.key(cfg.train.seed)
+    k_gan, k_as, k_aw = jax.random.split(key, 3)
+    base = create_state(cfg, k_gan)
+    a_s = init_agent(k_as, cfg.model)
+    a_w = init_agent(k_aw, cfg.model)
+    tx_s, tx_w = make_agent_optimizers(cfg)
+    return CurriculumState(
+        **{f: getattr(base, f) for f in GANState.__dataclass_fields__},
+        agent_strong=a_s, agent_weak=a_w,
+        opt_as=tx_s.init(a_s), opt_aw=tx_w.init(a_w))
+
+
+def env_params(cfg: Config) -> EnvParams:
+    cur = cfg.curriculum
+    return EnvParams(rollout_steps=cur.rollout_steps, gamma=cur.gamma)
+
+
+def make_curriculum_step(cfg: Config):
+    """Build the jit-able curriculum step. Batch: uint8 [n_critic, B, H, W]."""
+    m, t, cur = cfg.model, cfg.train, cfg.curriculum
+    gen, critic = Generator(m), Critic(m)
+    tx_g, tx_d = make_optimizers(cfg)
+    tx_s, tx_w = make_agent_optimizers(cfg)
+    ep = env_params(cfg)
+
+    def d_apply(params_d, x, cond):
+        return critic.apply({"params": params_d}, x, cond)
+
+    def step_fn(state: CurriculumState, batch_ids: jax.Array):
+        n_critic, bsz = batch_ids.shape[0], batch_ids.shape[1]
+        base = jax.random.fold_in(state.rng, state.step)
+        iter_keys = jax.random.split(jax.random.fold_in(base, 0), n_critic)
+        k_zg, k_sg, k_rs, k_rw = jax.random.split(jax.random.fold_in(base, 1), 4)
+        tau = current_tau(cfg, state.step)
+
+        # ---- 1. critic updates on real corpus levels (realism term) --------
+        def critic_iter(carry, xs):
+            params_d, opt_d = carry
+            ids, k = xs
+            k_aug, k_z, k_s, k_eps = jax.random.split(k, 4)
+            real, cond = prepare_real(cfg, k_aug, ids)
+            z = jax.random.normal(k_z, (bsz, m.latent_dim), jnp.float32)
+            logits = gen.apply({"params": state.generator}, z, cond)
+            fake = jax.lax.stop_gradient(sample_head(k_s, logits, m.head, tau))
+
+            def d_loss_fn(pd):
+                wdist = d_apply(pd, real, cond).mean() - d_apply(pd, fake, cond).mean()
+                gp = gradient_penalty(d_apply, pd, k_eps, real, fake, cond)
+                return -wdist + t.gp_lambda * gp, (gp, wdist)
+
+            (d_loss, (gp, wdist)), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(params_d)
+            updates, opt_d = tx_d.update(grads, opt_d, params_d)
+            return ((optax.apply_updates(params_d, updates), opt_d),
+                    {"d_loss": d_loss, "gp": gp, "wdist": wdist})
+
+        (params_d, opt_d), it = jax.lax.scan(
+            critic_iter, (state.discriminator, state.opt_d),
+            (batch_ids, iter_keys))
+
+        # ---- 2. G samples a batch of discrete levels -----------------------
+        z = jax.random.normal(k_zg, (bsz, m.latent_dim), jnp.float32)
+        logits = gen.apply({"params": state.generator}, z, None)
+        levels_soft = jax.lax.stop_gradient(
+            sample_head(k_sg, logits, "gumbel", tau))
+        level_ids = decode(levels_soft)
+        level_onehot = encode(level_ids, m.n_tiles, dtype=jnp.float32)
+
+        # ---- 3. both agents play the levels --------------------------------
+        traj_s = rollout(policy_apply, state.agent_strong, level_ids,
+                         level_onehot, k_rs, ep)
+        traj_w = rollout(policy_apply, state.agent_weak, level_ids,
+                         level_onehot, k_rw, ep)
+
+        # ---- 4. agent updates (A2C replay) ---------------------------------
+        a_s, opt_as, s_loss, s_aux = agent_update(
+            state.agent_strong, state.opt_as, tx_s, level_onehot, traj_s, cur)
+        a_w, opt_aw, w_loss, _ = agent_update(
+            state.agent_weak, state.opt_aw, tx_w, level_onehot, traj_w, cur)
+
+        # ---- 5. generator update: adversarial + curriculum REINFORCE -------
+        play_s = traj_s.reached.astype(jnp.float32)
+        play_w = traj_w.reached.astype(jnp.float32)
+        level_reward = (cur.w_play * play_s
+                        - cur.w_anti * play_w
+                        + cur.w_gap * (traj_s.total_return - traj_w.total_return))
+        advantage = jax.lax.stop_gradient(level_reward - state.g_baseline)
+        cond_g = None
+
+        def g_loss_fn(pg):
+            lg = gen.apply({"params": pg}, z, cond_g)
+            fake = sample_head(k_sg, lg, m.head, tau)
+            gan_term = -d_apply(params_d, fake, cond_g).mean()
+            # score-function estimator on the same sampled levels
+            logp_map = jax.nn.log_softmax(lg, axis=-1)
+            logp = jnp.sum(logp_map * levels_soft, axis=(1, 2, 3))
+            rl_term = -(advantage * logp).mean() / (m.level_size ** 2)
+            return gan_term + rl_term, (gan_term, rl_term)
+
+        (g_loss, (gan_term, rl_term)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.generator)
+        g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.generator)
+        params_g = optax.apply_updates(state.generator, g_updates)
+
+        baseline = (cur.g_baseline_decay * state.g_baseline
+                    + (1 - cur.g_baseline_decay) * level_reward.mean())
+
+        new_state = state.replace(
+            step=state.step + 1, generator=params_g, discriminator=params_d,
+            opt_g=opt_g, opt_d=opt_d, g_baseline=baseline,
+            agent_strong=a_s, agent_weak=a_w, opt_as=opt_as, opt_aw=opt_aw)
+        metrics = {
+            "d_loss": it["d_loss"][-1], "gp": it["gp"][-1],
+            "wdist": it["wdist"][-1], "g_loss": g_loss,
+            "g_gan": gan_term, "g_rl": rl_term,
+            "playability": play_s.mean(), "playability_weak": play_w.mean(),
+            "return_strong": traj_s.total_return.mean(),
+            "return_weak": traj_w.total_return.mean(),
+            "skill_gap": (traj_s.total_return - traj_w.total_return).mean(),
+            "agent_entropy": s_aux["entropy"], "tau": tau,
+            "gen_hist": tile_histogram(level_ids, m.n_tiles),
+        }
+        return new_state, metrics
+
+    return step_fn

@@ -1,0 +1,76 @@
+import jax
+import numpy as np
+import pytest
+
+from levelgan.config import preset
+from levelgan.lio.checkpoint import load_checkpoint, save_checkpoint
+from levelgan.train.curriculum import (create_curriculum_state,
+                                       make_curriculum_step)
+
+TINY = {
+    "train.batch_size": 8, "train.n_critic": 2,
+    "model.base_channels": 16, "model.critic_base_channels": 16,
+    "model.latent_dim": 16, "model.group_size": 8,
+    "curriculum.rollout_steps": 8, "data.corpus_size": 32,
+}
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return preset("curriculum_16").override(**TINY)
+
+
+@pytest.fixture(scope="module")
+def stepped(cfg):
+    state = create_curriculum_state(cfg)
+    step = jax.jit(make_curriculum_step(cfg))
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 8, size=(2, 8, 16, 16)).astype(np.uint8)
+    new_state, metrics = step(state, batch)
+    return state, new_state, metrics
+
+
+def test_metrics_finite(stepped):
+    _, _, m = stepped
+    for k in ("d_loss", "g_loss", "g_gan", "g_rl", "gp", "playability",
+              "playability_weak", "return_strong", "return_weak",
+              "skill_gap", "agent_entropy"):
+        assert np.isfinite(float(m[k])), k
+    assert 0.0 <= float(m["playability"]) <= 1.0
+
+
+def test_all_components_update(stepped):
+    state, new_state, _ = stepped
+    for field in ("generator", "discriminator", "agent_strong", "agent_weak"):
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a, np.float32)
+                                      - np.asarray(b, np.float32)).max()),
+            getattr(state, field), getattr(new_state, field))
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0, field
+    assert int(new_state.step) == 1
+    assert float(new_state.g_baseline) != 0.0
+
+
+def test_curriculum_checkpoint_roundtrip(cfg, stepped, tmp_path):
+    _, state, _ = stepped
+    path = save_checkpoint(str(tmp_path), state, cfg)
+    restored, cfg2 = load_checkpoint(
+        path, create_curriculum_state(cfg, jax.random.key(7)))
+    assert cfg2 == cfg
+    for field in ("generator", "agent_strong", "agent_weak", "opt_as"):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            getattr(state, field), getattr(restored, field))
+
+
+def test_deterministic(cfg):
+    rng = np.random.default_rng(1)
+    batch = rng.integers(0, 8, size=(2, 8, 16, 16)).astype(np.uint8)
+    step = jax.jit(make_curriculum_step(cfg))
+    outs = []
+    for _ in range(2):
+        state = create_curriculum_state(cfg)
+        _, m = step(state, batch)
+        outs.append(float(m["g_loss"]))
+    assert outs[0] == outs[1]
