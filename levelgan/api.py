@@ -9,6 +9,7 @@ step program, sharded over the data mesh.
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -27,42 +28,114 @@ from levelgan.train.state import create_state, param_count
 from levelgan.train.wgan_gp import make_wgan_gp_step
 
 
-def make_generate_fn(cfg: Config, batch_size: int):
+@functools.lru_cache(maxsize=32)
+def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False):
     """jit-compiled batched sampler: (params_g, key, cond) -> uint8 ids.
 
     Export path (SURVEY.md §3.2): z -> G -> argmax decode, all on-device;
     only the uint8 tile ids cross to host.  This is the levels/sec/chip
     benchmark surface (BASELINE.md).
+
+    ``pack=True`` (requires n_tiles <= 16) additionally nibble-packs two
+    tiles per byte ON DEVICE before the D2H transfer — host<->device
+    bandwidth is the export bottleneck, so halving the bytes nearly doubles
+    (and on this dev relay, ~8x-es) export throughput.  Unpack with
+    ``unpack_levels``.
     """
     from levelgan.data.codec import decode
     from levelgan.models import Generator
 
     gen = Generator(cfg.model)
+    if pack and cfg.model.n_tiles > 16:
+        raise ValueError("pack=True requires n_tiles <= 16 (4-bit tiles)")
 
     @jax.jit
     def gen_fn(params_g, key, cond=None):
         z = jax.random.normal(key, (batch_size, cfg.model.latent_dim),
                               jnp.float32)
         logits = gen.apply({"params": params_g}, z, cond)
-        return decode(logits)
+        ids = decode(logits)
+        if pack:
+            flat = ids.reshape(batch_size, -1)
+            return flat[:, 0::2] | (flat[:, 1::2] << 4)
+        return ids
 
     return gen_fn
 
 
+def unpack_levels(packed: np.ndarray, level_size: int) -> np.ndarray:
+    """Invert the on-device nibble packing: [B, H*W/2] -> uint8 [B, H, W]."""
+    b = packed.shape[0]
+    out = np.empty((b, level_size * level_size), np.uint8)
+    out[:, 0::2] = packed & 0x0F
+    out[:, 1::2] = packed >> 4
+    return out.reshape(b, level_size, level_size)
+
+
+@functools.lru_cache(maxsize=32)
+def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
+                          pack: bool):
+    """ONE jit program generating ``n_batches`` batches via lax.fori_loop.
+
+    Per-dispatch overhead dominates the export path (especially through the
+    dev relay), so the batch loop lives on-device: one dispatch + one D2H
+    transfer for the whole block.  Measured on gumbel_64: ~8x over
+    per-batch dispatch.
+    """
+    gen_fn = make_generate_fn(cfg, batch_size, pack=pack)
+    m = cfg.model
+    per = m.level_size * m.level_size // (2 if pack else 1)
+
+    @jax.jit
+    def many(params_g, key, cond=None):
+        keys = jax.random.split(key, n_batches)
+
+        def body(i, out):
+            ids = gen_fn(params_g, keys[i], cond)
+            return jax.lax.dynamic_update_index_in_dim(
+                out, ids.reshape(batch_size, per), i, 0)
+
+        out0 = jnp.zeros((n_batches, batch_size, per), jnp.uint8)
+        return jax.lax.fori_loop(0, n_batches, body, out0)
+
+    return many
+
+
 def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
-             batch_size: int = 1024, cond=None) -> np.ndarray:
-    """Generate ``n`` levels as host uint8 [n, H, W]."""
+             batch_size: int = 1024, cond=None,
+             pack: bool | None = None) -> np.ndarray:
+    """Generate ``n`` levels as host uint8 [n, H, W].
+
+    ``pack=None`` auto-enables on-device nibble packing when the tile
+    vocabulary fits 4 bits (halves D2H bytes; see make_generate_fn).
+    """
     batch_size = min(batch_size, n)
-    gen_fn = make_generate_fn(cfg, batch_size)
+    if pack is None:
+        pack = cfg.model.n_tiles <= 16
     if cond is not None:
         cond = jnp.broadcast_to(jnp.asarray(cond, jnp.float32),
                                 (batch_size, cfg.model.cond_dim))
-    out = []
+    hw = cfg.model.level_size ** 2
+    n_batches_total = -(-n // batch_size)
+    # bound device memory per dispatch (~64MB of packed ids)
+    per_batch_bytes = batch_size * hw // (2 if pack else 1)
+    nb_per_dispatch = max(1, min(n_batches_total,
+                                 (64 << 20) // max(per_batch_bytes, 1)))
+    many = make_generate_many_fn(cfg, batch_size, nb_per_dispatch, pack)
+
+    futures = []
     key = jax.random.key(seed)
-    for i in range(0, n, batch_size):
+    done = 0
+    while done < n_batches_total:
         key, sub = jax.random.split(key)
-        out.append(np.asarray(gen_fn(params_g, sub, cond)))
-    return np.concatenate(out)[:n]
+        futures.append(many(params_g, sub, cond))
+        done += nb_per_dispatch
+    pulled = [np.asarray(f).reshape(-1, hw // (2 if pack else 1))
+              for f in futures]
+    flat = np.concatenate(pulled)
+    if pack:
+        return unpack_levels(flat, cfg.model.level_size)[:n]
+    return flat.reshape(-1, cfg.model.level_size, cfg.model.level_size)[:n]
 
 
 def make_step_fn(cfg: Config):
@@ -83,14 +156,21 @@ def make_state(cfg: Config, key):
     return create_state(cfg, key)
 
 
-def sample_batch(cfg: Config, ds: LevelDataset, kind: str) -> np.ndarray:
-    """Host-side: raw uint8 ids in the shape the step consumes."""
+def sample_batch(cfg: Config, ds: LevelDataset, kind: str,
+                 step: int | None = None) -> np.ndarray:
+    """Host-side: raw uint8 ids in the shape the step consumes.
+
+    With ``step`` given the draw is stateless in (seed, step) — a resumed
+    run consumes exactly the batches an uninterrupted run would.
+    """
     b = cfg.train.batch_size
+    draw = (lambda n: ds.sample(n)) if step is None else \
+        (lambda n: ds.sample_at(step, n))
     if kind in ("wgan_gp", "curriculum"):
         n = cfg.train.n_critic
-        flat = ds.sample(n * b)
+        flat = draw(n * b)
         return flat.reshape(n, b, *flat.shape[1:])
-    return ds.sample(b)
+    return draw(b)
 
 
 def batch_spec(kind: str) -> P:
@@ -154,7 +234,7 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
             jax.profiler.start_trace(cfg.io.profile_dir or
                                      f"{cfg.io.out_dir}/profile")
             profiling = True
-        batch = jax.device_put(sample_batch(cfg, ds, kind), b_shard)
+        batch = jax.device_put(sample_batch(cfg, ds, kind, step=i), b_shard)
         state, metrics = jit_step(state, batch)
         if profiling and i == start_step + 20:
             jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)

@@ -95,6 +95,7 @@ class LevelDataset:
         if levels.dtype != np.uint8 or levels.ndim != 3:
             raise ValueError(f"expected uint8 [N,H,W], got {levels.dtype} {levels.shape}")
         self.levels = levels
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
 
     @classmethod
@@ -113,6 +114,14 @@ class LevelDataset:
 
     def sample(self, batch_size: int) -> np.ndarray:
         idx = self._rng.integers(0, len(self.levels), size=batch_size)
+        return self.levels[idx]
+
+    def sample_at(self, step: int, batch_size: int) -> np.ndarray:
+        """Stateless draw for train step ``step``: depends only on
+        (seed, step), so a resumed run consumes exactly the batches an
+        uninterrupted run would (fault-recovery equivalence, SURVEY.md §5.3)."""
+        rng = np.random.default_rng((self._seed, step))
+        idx = rng.integers(0, len(self.levels), size=batch_size)
         return self.levels[idx]
 
     def batches(self, batch_size: int):

@@ -62,6 +62,48 @@ def conv_transpose_2x(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
     return out
 
 
+def conv_transpose_2x_parity(x: jax.Array, w: jax.Array,
+                             compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Kernel-segregated transposed conv — zero-insertion-free decomposition.
+
+    Identical result to ``conv_transpose_2x`` but computed as 4 dense
+    2x2-tap contractions on the UN-upsampled input (one per output parity),
+    then interleaved — no multiplies against inserted zeros (cf. PAPERS.md
+    "Unified Kernel-Segregated Transpose Convolution", arXiv 2502.20493).
+    Derived mapping (verified numerically against lax.conv_transpose):
+
+        y[2i+a, 2j+b] = sum_{r,s in {0,1}} xp[i+a+r, j+b+s] * w[a+2r, b+2s]
+
+    with xp = x padded by 1 on each spatial side.  This is the math the
+    Pallas kernel K1 implements in VMEM.
+    """
+    b, h, ww, ci = x.shape
+    co = w.shape[-1]
+    xc = x.astype(compute_dtype)
+    wc = w.astype(compute_dtype)
+    xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    parities = []
+    for a in (0, 1):
+        row = []
+        for bb in (0, 1):
+            taps = jnp.concatenate(
+                [xp[:, a + r:a + r + h, bb + s:bb + s + ww, :]
+                 for r in (0, 1) for s in (0, 1)], axis=-1)  # [B,H,W,4Ci]
+            wmat = jnp.concatenate(
+                [wc[a + 2 * r, bb + 2 * s] for r in (0, 1) for s in (0, 1)],
+                axis=0)  # [4Ci, Co]
+            y_ab = jax.lax.dot_general(
+                taps.reshape(b * h * ww, 4 * ci), wmat,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            row.append(y_ab.reshape(b, h, ww, co))
+        parities.append(row)
+    # interleave: [B,H,W,2,2,Co] -> [B,H,2,W,2,Co] -> [B,2H,2W,Co]
+    y = jnp.stack([jnp.stack(r, axis=3) for r in parities], axis=3)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * ww, co)
+    return y
+
+
 def upsample_block_xla(x: jax.Array, w: jax.Array, gamma: jax.Array,
                        beta: jax.Array, *, slope: float = 0.2,
                        group_size: int = 16,

@@ -1,0 +1,99 @@
+"""Kernel tier (SURVEY.md §4.2): Pallas K1 must match the XLA oracle,
+forward and backward, on CPU (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from levelgan.kernels.upsample_block import upsample_block_pallas
+from levelgan.ops.blocks import (conv_transpose_2x, conv_transpose_2x_parity,
+                                 upsample_block_xla)
+
+
+def _io(b, h, ci, co, seed=0):
+    x = jax.random.normal(jax.random.key(seed), (b, h, h, ci), jnp.float32)
+    w = jax.random.normal(jax.random.key(seed + 1), (4, 4, ci, co)) * 0.1
+    gamma = jax.random.uniform(jax.random.key(seed + 2), (co,), minval=0.5,
+                               maxval=1.5)
+    beta = jax.random.normal(jax.random.key(seed + 3), (co,)) * 0.1
+    return x, w, gamma, beta
+
+
+def test_parity_decomposition_exact():
+    """conv_transpose_2x_parity == lax.conv_transpose (the derived mapping)."""
+    x = jax.random.normal(jax.random.key(1), (3, 8, 8, 16))
+    w = jax.random.normal(jax.random.key(2), (4, 4, 16, 24)) * 0.1
+    a = np.asarray(conv_transpose_2x(x, w, compute_dtype=jnp.float32))
+    b = np.asarray(conv_transpose_2x_parity(x, w, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+@pytest.mark.parametrize("b,h,ci,co", [
+    (4, 4, 64, 32),    # deepest stage shape (scaled down)
+    (4, 8, 32, 16),
+    (2, 16, 16, 16),
+    (3, 4, 24, 8),     # non-pow2 batch/channels
+])
+def test_pallas_forward_matches_oracle(b, h, ci, co):
+    x, w, gamma, beta = _io(b, h, ci, co)
+    y_x = np.asarray(upsample_block_xla(
+        x, w, gamma, beta, slope=0.2, group_size=8,
+        compute_dtype=jnp.float32))
+    y_p = np.asarray(upsample_block_pallas(
+        x, w, gamma, beta, slope=0.2, group_size=8,
+        compute_dtype=jnp.float32))
+    assert y_p.shape == (b, 2 * h, 2 * h, co)
+    np.testing.assert_allclose(y_p, y_x, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_backward_matches_oracle():
+    x, w, gamma, beta = _io(4, 8, 32, 16)
+
+    def mk(fn):
+        def loss(x, w, g, b):
+            y = fn(x, w, g, b, slope=0.2, group_size=8,
+                   compute_dtype=jnp.float32)
+            return (y ** 2).sum()
+        return jax.grad(loss, argnums=(0, 1, 2, 3))
+
+    gp = mk(upsample_block_pallas)(x, w, gamma, beta)
+    gx = mk(upsample_block_xla)(x, w, gamma, beta)
+    for i, (a, b) in enumerate(zip(gp, gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-3, err_msg=f"arg {i}")
+
+
+def test_pallas_bf16_close_to_f32_oracle():
+    x, w, gamma, beta = _io(4, 8, 32, 16)
+    y32 = np.asarray(upsample_block_xla(
+        x, w, gamma, beta, slope=0.2, group_size=8,
+        compute_dtype=jnp.float32))
+    y16 = np.asarray(upsample_block_pallas(
+        x.astype(jnp.bfloat16), w, gamma, beta, slope=0.2, group_size=8,
+        compute_dtype=jnp.bfloat16)).astype(np.float32)
+    # bf16 has ~3 decimal digits; activations are O(1) post-norm
+    np.testing.assert_allclose(y16, y32, atol=0.1)
+
+
+def test_generator_with_pallas_matches_xla():
+    """End-to-end: the whole Generator forward with use_pallas on/off."""
+    from levelgan.config import ModelConfig
+    from levelgan.models import Generator
+
+    m_x = ModelConfig(level_size=16, base_channels=16, group_size=8,
+                      latent_dim=8, dtype="float32", use_pallas=False)
+    m_p = m_x.__class__(**{**m_x.__dict__, "use_pallas": True})
+    z = jax.random.normal(jax.random.key(0), (2, 8))
+    params = Generator(m_x).init(jax.random.key(1), z)["params"]
+    y_x = np.asarray(Generator(m_x).apply({"params": params}, z))
+    y_p = np.asarray(Generator(m_p).apply({"params": params}, z))
+    np.testing.assert_allclose(y_p, y_x, atol=2e-4, rtol=1e-3)
+
+
+def test_bad_group_size_rejected():
+    # co=25, gs=8 -> groups=3, 25 % 3 != 0 -> invalid grouping
+    x, w, gamma, beta = _io(2, 4, 16, 25)
+    with pytest.raises(ValueError):
+        upsample_block_pallas(x, w, gamma, beta, group_size=8,
+                              compute_dtype=jnp.float32)
