@@ -1,0 +1,112 @@
+"""Pallas TPU kernel K2: WGAN-GP gradient-norm penalty core, custom VJP.
+
+Reference equivalent: ``((||autograd.grad(D(x_hat), x_hat)|| - 1)^2).mean()``
+— torch materializes the per-sample gradient g in HBM, then runs separate
+square/reduce/sqrt/sub/square/mean kernels, and the double backward walks
+the same chain in reverse (SURVEY.md K2 [NS]).
+
+Kernel strategy (SURVEY.md §7.4 item 1, mitigation (b)): the critic
+forward/input-gradient stay in XLA (measured near-roofline when XLA fuses
+the whole step program; a full conv fwd+bwd inside one Mosaic kernel is
+blocked by minor-dim layout casts — see kernels/upsample_block.py notes).
+What Pallas fuses is the penalty CORE on both sides of the double backward:
+
+  forward:  p_b = (||g_b||_2 - 1)^2           one pass over g, one HBM read
+  backward: dL/dg_b = c_b * (2 (||g_b||-1) / ||g_b||) * g_b
+
+The backward reuses per-sample norms recomputed in VMEM (no residual big
+tensor), so the second-order term XLA builds around this op (the
+params-HVP) consumes a single fused producer.  ``jax.custom_vjp`` makes the
+op differentiable — the outer ``jax.grad`` w.r.t. critic params flows
+through this bwd into XLA's transpose of the inner gradient computation,
+which is exactly the reference's create_graph=True semantics.
+
+Oracle: ``ops.grad_penalty.gradient_penalty`` (pure XLA) — parity-tested.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-12
+
+
+def _fwd_kernel(g_ref, pen_ref, norm_ref):
+    g = g_ref[:].astype(jnp.float32)        # [B, F]
+    sq = jnp.sum(g * g, axis=1, keepdims=True)
+    norm = jnp.sqrt(sq + _EPS)              # [B, 1]
+    norm_ref[:] = norm
+    pen_ref[:] = jnp.square(norm - 1.0)
+
+
+def _bwd_kernel(g_ref, norm_ref, ct_ref, dg_ref):
+    g = g_ref[:].astype(jnp.float32)
+    norm = norm_ref[:]                      # [B, 1]
+    ct = ct_ref[:]                          # [B, 1] cotangent of per-sample penalty
+    scale = ct * 2.0 * (norm - 1.0) / norm
+    dg_ref[:] = (scale * g).astype(dg_ref.dtype)
+
+
+def _pallas_fwd(g2):
+    b, f = g2.shape
+    return pl.pallas_call(
+        _fwd_kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 1), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=(jax.default_backend() == "cpu"),
+    )(g2)
+
+
+def _pallas_bwd(g2, norm, ct):
+    return pl.pallas_call(
+        _bwd_kernel,
+        out_shape=jax.ShapeDtypeStruct(g2.shape, g2.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=(jax.default_backend() == "cpu"),
+    )(g2, norm, ct)
+
+
+@jax.custom_vjp
+def norm_penalty(g2: jax.Array) -> jax.Array:
+    """Per-sample (||g||-1)^2 from flattened input-gradients g2 [B, F]."""
+    pen, _ = _pallas_fwd(g2)
+    return pen[:, 0]
+
+
+def _np_fwd(g2):
+    pen, norm = _pallas_fwd(g2)
+    return pen[:, 0], (g2, norm)
+
+
+def _np_bwd(res, ct):
+    g2, norm = res
+    return (_pallas_bwd(g2, norm, ct[:, None]),)
+
+
+norm_penalty.defvjp(_np_fwd, _np_bwd)
+
+
+def gradient_penalty_pallas(d_apply, params_d, key, real, fake,
+                            cond=None) -> jax.Array:
+    """Drop-in twin of ``ops.grad_penalty.gradient_penalty`` using the
+    Pallas penalty core.  Same signature, same semantics, differentiable
+    w.r.t. ``params_d`` (double backward)."""
+    from levelgan.ops.grad_penalty import interpolate
+
+    x_hat = interpolate(key, real, fake)
+
+    def d_sum(x):
+        return d_apply(params_d, x, cond).astype(jnp.float32).sum()
+
+    g = jax.grad(d_sum)(x_hat)
+    g2 = g.reshape(g.shape[0], -1)
+    return jnp.mean(norm_penalty(g2))

@@ -74,6 +74,10 @@ def make_curriculum_step(cfg: Config):
     m, t, cur = cfg.model, cfg.train, cfg.curriculum
     gen, critic = Generator(m), Critic(m)
     tx_g, tx_d = make_optimizers(cfg)
+    if m.use_pallas:
+        from levelgan.kernels.gp_penalty import gradient_penalty_pallas as gp_impl
+    else:
+        gp_impl = gradient_penalty
     tx_s, tx_w = make_agent_optimizers(cfg)
     ep = env_params(cfg)
 
@@ -99,7 +103,7 @@ def make_curriculum_step(cfg: Config):
 
             def d_loss_fn(pd):
                 wdist = d_apply(pd, real, cond).mean() - d_apply(pd, fake, cond).mean()
-                gp = gradient_penalty(d_apply, pd, k_eps, real, fake, cond)
+                gp = gp_impl(d_apply, pd, k_eps, real, fake, cond)
                 return -wdist + t.gp_lambda * gp, (gp, wdist)
 
             (d_loss, (gp, wdist)), grads = jax.value_and_grad(

@@ -29,6 +29,10 @@ def make_wgan_gp_step(cfg: Config):
     m, t = cfg.model, cfg.train
     gen, critic = Generator(m), Critic(m)
     tx_g, tx_d = make_optimizers(cfg)
+    if m.use_pallas:
+        from levelgan.kernels.gp_penalty import gradient_penalty_pallas as gp_impl
+    else:
+        gp_impl = gradient_penalty
 
     def d_apply(params_d, x, cond):
         return critic.apply({"params": params_d}, x, cond)
@@ -57,7 +61,7 @@ def make_wgan_gp_step(cfg: Config):
             def d_loss_fn(pd):
                 d_real = d_apply(pd, real, cond)
                 d_fake = d_apply(pd, fake, cond)
-                gp = gradient_penalty(d_apply, pd, k_eps, real, fake, cond)
+                gp = gp_impl(d_apply, pd, k_eps, real, fake, cond)
                 wdist = d_real.mean() - d_fake.mean()
                 loss = -wdist + t.gp_lambda * gp
                 return loss, (gp, wdist)
