@@ -180,6 +180,9 @@ def batch_spec(kind: str) -> P:
 
 def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
     """Run training per ``cfg``; returns a summary dict."""
+    if cfg.io.debug_nans:
+        # SURVEY.md §5.2: NaN propagation debug mode (reference had none)
+        jax.config.update("jax_debug_nans", True)
     mesh = mesh if mesh is not None else make_mesh(cfg.dist.dp)
     n_dev = mesh.devices.size
     if cfg.train.batch_size % n_dev:
@@ -214,6 +217,14 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
                        in_shardings=(repl, b_shard), out_shardings=None)
 
     logger = MetricsLogger(cfg.io.out_dir, echo=echo)
+    tb_writer = None
+    if cfg.io.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb_writer = SummaryWriter(f"{cfg.io.out_dir}/tb")
+        except ImportError:
+            print("[levelgan] tensorboard requested but torch unavailable; "
+                  "JSONL metrics only")
     if echo:
         print(f"[levelgan] preset={cfg.preset} loss={kind} "
               f"mesh={n_dev}x{mesh.devices.flat[0].platform} "
@@ -253,6 +264,19 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
                 i + 1, **metrics, kl=kl,
                 step_ms=1e3 * (now - t_last) / denom)
             t_last = now
+            if tb_writer is not None:
+                for k, v in last_metrics.items():
+                    if isinstance(v, (int, float)) and k != "step":
+                        tb_writer.add_scalar(k, v, i + 1)
+        if cfg.io.render_every and (i + 1) % cfg.io.render_every == 0:
+            from levelgan.cli.export import write_png
+            levels = generate(cfg, state.generator, 16, batch_size=16,
+                              seed=i,
+                              cond=(np.full(cfg.model.cond_dim, 0.25,
+                                            np.float32)
+                                    if cfg.model.cond_dim else None))
+            write_png(f"{cfg.io.out_dir}/levels_{i + 1:08d}.png", levels,
+                      cols=4)
         if (i + 1) % cfg.io.ckpt_every == 0 and i + 1 < cfg.train.steps:
             save_checkpoint(ckpt_dir, state, cfg, keep=cfg.io.keep_ckpts)
 

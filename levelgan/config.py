@@ -100,6 +100,9 @@ class IOConfig:
     resume: str = ""              # '' | 'auto' | explicit checkpoint path
     profile: bool = False
     profile_dir: str = ""
+    debug_nans: bool = False      # jax_debug_nans (SURVEY.md §5.2 debug mode)
+    tensorboard: bool = False     # optional TB scalars (torch SummaryWriter)
+    render_every: int = 0         # PNG grid of generated levels every k steps
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,60 @@
+"""Statistical-identity harness (SURVEY.md §6 protocol, §7.4 item 5).
+
+The BASELINE.json contract is "generated tile distributions statistically
+identical to the reference".  This module turns that into decidable gates:
+
+  - tile-marginal KL(P_gen || P_ref) with add-one smoothing, >=100k tiles
+    (metrics.histogram_kl), against a per-config threshold;
+  - per-position chi-square: for each grid cell, the distribution over tile
+    types across samples, compared to the corpus's per-position
+    distribution (catches generators with the right marginals but wrong
+    spatial structure — e.g. borders);
+  - the same machinery conditioned on a feature bucket for config 4.
+
+``tools/validate.py`` runs these against a trained checkpoint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def per_position_counts(levels: np.ndarray, n_tiles: int) -> np.ndarray:
+    """uint8 [N, H, W] -> counts [H, W, n_tiles]."""
+    n, h, w = levels.shape
+    out = np.zeros((h, w, n_tiles), np.int64)
+    for t in range(n_tiles):
+        out[..., t] = (levels == t).sum(axis=0)
+    return out
+
+
+def per_position_chi2(gen_levels: np.ndarray, ref_levels: np.ndarray,
+                      n_tiles: int) -> dict:
+    """Mean per-cell chi-square statistic of gen vs ref per-position
+    tile distributions (expected counts from ref, add-one smoothed),
+    normalized per generated sample.  Returns summary stats."""
+    n_gen = len(gen_levels)
+    gen_c = per_position_counts(gen_levels, n_tiles).astype(np.float64)
+    ref_c = per_position_counts(ref_levels, n_tiles).astype(np.float64)
+    ref_p = (ref_c + 1.0) / (ref_c.sum(-1, keepdims=True) + n_tiles)
+    expected = ref_p * n_gen
+    chi2 = ((gen_c - expected) ** 2 / expected).sum(-1)  # [H, W]
+    dof = n_tiles - 1
+    return {
+        "chi2_mean": float(chi2.mean()),
+        "chi2_max": float(chi2.max()),
+        "dof": dof,
+        # per-cell chi2/dof ~ 1 when distributions match
+        "chi2_per_dof_mean": float(chi2.mean() / dof),
+    }
+
+
+def kl_gate(gen_levels: np.ndarray, ref_counts: np.ndarray, n_tiles: int,
+            threshold: float) -> dict:
+    from levelgan.lio.metrics import kl_divergence, tile_histogram
+    import jax.numpy as jnp
+
+    gen_counts = np.asarray(tile_histogram(jnp.asarray(gen_levels), n_tiles))
+    kl = float(kl_divergence(gen_counts, ref_counts))
+    return {"kl": kl, "threshold": threshold, "passed": kl <= threshold,
+            "tiles_sampled": int(gen_levels.size)}
