@@ -173,9 +173,27 @@ def sample_batch(cfg: Config, ds: LevelDataset, kind: str,
     return draw(b)
 
 
-def batch_spec(kind: str) -> P:
-    # batch axis is sharded on 'data'; the n_critic super-axis is replicated
-    return P(None, "data") if kind in ("wgan_gp", "curriculum") else P("data")
+def batch_spec(kind: str, multi: bool = False) -> P:
+    # batch axis is sharded on 'data'; the n_critic / steps-per-dispatch
+    # super-axes are replicated
+    spec = (None, "data") if kind in ("wgan_gp", "curriculum") else ("data",)
+    return P(None, *spec) if multi else P(*spec)
+
+
+def make_multi_step(step_fn, k: int):
+    """Scan ``k`` train steps inside one jit program (one dispatch).
+
+    Amortizes host->device dispatch latency (the dominant per-step cost on
+    dispatch-latency-bound links; ~28ms on the dev relay).  Metrics: last
+    step's scalars + the summed tile histogram across the k steps.
+    """
+    def multi(state, batches):
+        state, ms = jax.lax.scan(step_fn, state, batches)
+        metrics = {name: v[-1] for name, v in ms.items() if name != "gen_hist"}
+        metrics["gen_hist"] = ms["gen_hist"].sum(axis=0)
+        return state, metrics
+
+    return multi
 
 
 def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
@@ -213,8 +231,15 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
         elif cfg.io.resume != "auto":
             raise FileNotFoundError(f"resume checkpoint not found: {cfg.io.resume}")
 
-    jit_step = jax.jit(step_fn, donate_argnums=(0,),
-                       in_shardings=(repl, b_shard), out_shardings=None)
+    spd = max(1, cfg.train.steps_per_dispatch)
+    if spd > 1:
+        mb_shard = NamedSharding(mesh, batch_spec(kind, multi=True))
+        jit_step = jax.jit(make_multi_step(step_fn, spd), donate_argnums=(0,),
+                           in_shardings=(repl, mb_shard))
+    else:
+        mb_shard = b_shard
+        jit_step = jax.jit(step_fn, donate_argnums=(0,),
+                           in_shardings=(repl, b_shard))
 
     logger = MetricsLogger(cfg.io.out_dir, echo=echo)
     tb_writer = None
@@ -240,44 +265,70 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
     last_metrics: dict = {}
     profiling = False
 
-    for i in range(start_step, cfg.train.steps):
-        if cfg.io.profile and i == start_step + 10:
+    def _round_cadence(every: int) -> int:
+        return max(spd, (every // spd) * spd) if every else 0
+
+    log_every = _round_cadence(cfg.io.log_every)
+    ckpt_every = _round_cadence(cfg.io.ckpt_every)
+    render_every = _round_cadence(cfg.io.render_every)
+
+    jit_tail = None  # single-step jit for a final chunk < spd (lazy)
+    i = start_step
+    while i < cfg.train.steps:
+        k = min(spd, cfg.train.steps - i)
+        if cfg.io.profile and not profiling and i >= start_step + min(10, spd):
             jax.profiler.start_trace(cfg.io.profile_dir or
                                      f"{cfg.io.out_dir}/profile")
             profiling = True
-        batch = jax.device_put(sample_batch(cfg, ds, kind, step=i), b_shard)
-        state, metrics = jit_step(state, batch)
-        if profiling and i == start_step + 20:
+        if k == spd and spd > 1:
+            batch = np.stack([sample_batch(cfg, ds, kind, step=i + j)
+                              for j in range(k)])
+            state, metrics = jit_step(state, jax.device_put(batch, mb_shard))
+        elif spd == 1:
+            batch = jax.device_put(sample_batch(cfg, ds, kind, step=i), b_shard)
+            state, metrics = jit_step(state, batch)
+        else:
+            if jit_tail is None:
+                jit_tail = jax.jit(step_fn, donate_argnums=(0,),
+                                   in_shardings=(repl, b_shard))
+            for j in range(k):
+                batch = jax.device_put(
+                    sample_batch(cfg, ds, kind, step=i + j), b_shard)
+                state, metrics = jit_tail(state, batch)
+                if j < k - 1:
+                    gen_hist_dev = gen_hist_dev + metrics.pop("gen_hist")
+        i += k
+        if profiling and i >= start_step + min(10, spd) + 2 * spd + 10:
             jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
             jax.profiler.stop_trace()
             profiling = False
 
         gen_hist_dev = gen_hist_dev + metrics.pop("gen_hist")
-        if (i + 1) % cfg.io.log_every == 0 or i + 1 == cfg.train.steps:
+        if (log_every and i % log_every == 0) or i == cfg.train.steps:
             metrics = jax.device_get(metrics)
             gen_hist = np.asarray(gen_hist_dev, np.float64)
             now = time.monotonic()
-            denom = cfg.io.log_every if (i + 1) % cfg.io.log_every == 0 \
-                else (i % cfg.io.log_every) + 1
+            denom = (log_every if log_every and i % log_every == 0
+                     else (i % log_every if log_every else i) or i)
             kl = float(kl_divergence(gen_hist, ref_hist))
             last_metrics = logger.log(
-                i + 1, **metrics, kl=kl,
+                i, **metrics, kl=kl,
                 step_ms=1e3 * (now - t_last) / denom)
             t_last = now
             if tb_writer is not None:
-                for k, v in last_metrics.items():
-                    if isinstance(v, (int, float)) and k != "step":
-                        tb_writer.add_scalar(k, v, i + 1)
-        if cfg.io.render_every and (i + 1) % cfg.io.render_every == 0:
+                for name, val in last_metrics.items():
+                    if isinstance(val, (int, float)) and name != "step":
+                        tb_writer.add_scalar(name, val, i)
+        if cfg.io.render_every and i % render_every == 0:
             from levelgan.cli.export import write_png
             levels = generate(cfg, state.generator, 16, batch_size=16,
                               seed=i,
                               cond=(np.full(cfg.model.cond_dim, 0.25,
                                             np.float32)
                                     if cfg.model.cond_dim else None))
-            write_png(f"{cfg.io.out_dir}/levels_{i + 1:08d}.png", levels,
+            write_png(f"{cfg.io.out_dir}/levels_{i:08d}.png", levels,
                       cols=4)
-        if (i + 1) % cfg.io.ckpt_every == 0 and i + 1 < cfg.train.steps:
+        if ckpt_every and i % ckpt_every == 0 and i < cfg.train.steps:
             save_checkpoint(ckpt_dir, state, cfg, keep=cfg.io.keep_ckpts)
 
     final_path = save_checkpoint(ckpt_dir, state, cfg, keep=cfg.io.keep_ckpts)

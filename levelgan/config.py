@@ -53,6 +53,10 @@ class TrainConfig:
     n_critic: int = 5             # critic updates per generator update (wgan_gp)
     gp_lambda: float = 10.0
     seed: int = 0
+    # Steps executed per device dispatch (lax.scan over the step fn).
+    # >1 amortizes host->device dispatch latency; log/ckpt cadence is
+    # rounded to multiples of this.
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)
