@@ -45,6 +45,19 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False):
     from levelgan.data.codec import decode
     from levelgan.models import Generator
 
+    if cfg.model.family == "track":
+        from levelgan.track.models import TrackGenerator
+
+        tgen = TrackGenerator(cfg.model)
+
+        @jax.jit
+        def track_fn(params_g, key, cond=None):
+            z = jax.random.normal(key, (batch_size, cfg.model.latent_dim),
+                                  jnp.float32)
+            return tgen.apply({"params": params_g}, z, cond)
+
+        return track_fn
+
     gen = Generator(cfg.model)
     if pack and cfg.model.n_tiles > 16:
         raise ValueError("pack=True requires n_tiles <= 16 (4-bit tiles)")
@@ -110,6 +123,17 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
     vocabulary fits 4 bits (halves D2H bytes; see make_generate_fn).
     """
     batch_size = min(batch_size, n)
+    if cfg.model.family == "track":
+        gen_fn = make_generate_fn(cfg, batch_size)
+        if cond is not None:
+            cond = jnp.broadcast_to(jnp.asarray(cond, jnp.float32),
+                                    (batch_size, cfg.model.cond_dim))
+        futures = []
+        key = jax.random.key(seed)
+        for _ in range(0, n, batch_size):
+            key, sub = jax.random.split(key)
+            futures.append(gen_fn(params_g, sub, cond))
+        return np.concatenate([np.asarray(f) for f in futures])[:n]
     if pack is None:
         pack = cfg.model.n_tiles <= 16
     if cond is not None:
@@ -139,6 +163,15 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
 
 
 def make_step_fn(cfg: Config):
+    if cfg.model.family == "track":
+        if cfg.train.loss == "wgan_gp":
+            from levelgan.track.train import make_track_wgan_step
+            return make_track_wgan_step(cfg), "wgan_gp"
+        if cfg.train.loss == "curriculum":
+            from levelgan.track.train import make_track_curriculum_step
+            return make_track_curriculum_step(cfg), "curriculum"
+        raise ValueError(f"track family supports wgan_gp/curriculum, "
+                         f"not '{cfg.train.loss}'")
     if cfg.train.loss == "gan":
         return make_gan_step(cfg), "gan"
     if cfg.train.loss == "wgan_gp":
@@ -150,10 +183,30 @@ def make_step_fn(cfg: Config):
 
 
 def make_state(cfg: Config, key):
+    if cfg.model.family == "track":
+        from levelgan.track.train import (create_track_curriculum_state,
+                                          create_track_state)
+        return (create_track_curriculum_state(cfg, key)
+                if cfg.train.loss == "curriculum"
+                else create_track_state(cfg, key))
     if cfg.train.loss == "curriculum":
         from levelgan.train.curriculum import create_curriculum_state
         return create_curriculum_state(cfg, key)
     return create_state(cfg, key)
+
+
+def make_dataset(cfg: Config):
+    if cfg.model.family == "track":
+        from levelgan.track.data import TrackDataset
+        return TrackDataset.from_config(cfg.data, cfg.model,
+                                        seed=cfg.train.seed)
+    return LevelDataset.from_config(cfg.data, cfg.model, seed=cfg.train.seed)
+
+
+def ref_histogram(cfg: Config, ds) -> np.ndarray:
+    if cfg.model.family == "track":
+        return ds.tile_histogram()
+    return ds.tile_histogram(cfg.model.n_tiles)
 
 
 def sample_batch(cfg: Config, ds: LevelDataset, kind: str,
@@ -207,8 +260,8 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
         raise ValueError(f"batch_size {cfg.train.batch_size} not divisible by "
                          f"mesh size {n_dev}")
 
-    ds = LevelDataset.from_config(cfg.data, cfg.model, seed=cfg.train.seed)
-    ref_hist = ds.tile_histogram(cfg.model.n_tiles)
+    ds = make_dataset(cfg)
+    ref_hist = ref_histogram(cfg, ds)
 
     step_fn, kind = make_step_fn(cfg)
     repl = replicated_sharding(mesh)
@@ -258,8 +311,8 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
 
     # Generated-tile histogram accumulates ON DEVICE (async adds); pulling it
     # to host every step would force a per-step sync and serialize dispatch.
-    gen_hist_dev = jnp.zeros(cfg.model.n_tiles, jnp.float32)
-    gen_hist = np.zeros(cfg.model.n_tiles, np.float64)
+    gen_hist_dev = jnp.zeros(len(ref_hist), jnp.float32)
+    gen_hist = np.zeros(len(ref_hist), np.float64)
     start_step = int(jax.device_get(state.step))
     t_last = time.monotonic()
     last_metrics: dict = {}
@@ -306,7 +359,10 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
         gen_hist_dev = gen_hist_dev + metrics.pop("gen_hist")
         if (log_every and i % log_every == 0) or i == cfg.train.steps:
             metrics = jax.device_get(metrics)
+            # per-window histogram: the logged KL reflects the CURRENT
+            # generator, not a run-cumulative average that masks drift
             gen_hist = np.asarray(gen_hist_dev, np.float64)
+            gen_hist_dev = jnp.zeros_like(gen_hist_dev)
             now = time.monotonic()
             denom = (log_every if log_every and i % log_every == 0
                      else (i % log_every if log_every else i) or i)
@@ -320,14 +376,20 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
                     if isinstance(val, (int, float)) and name != "step":
                         tb_writer.add_scalar(name, val, i)
         if cfg.io.render_every and i % render_every == 0:
-            from levelgan.cli.export import write_png
-            levels = generate(cfg, state.generator, 16, batch_size=16,
-                              seed=i,
-                              cond=(np.full(cfg.model.cond_dim, 0.25,
-                                            np.float32)
-                                    if cfg.model.cond_dim else None))
-            write_png(f"{cfg.io.out_dir}/levels_{i:08d}.png", levels,
-                      cols=4)
+            from levelgan.train.state import eval_generator_params
+            samples = generate(cfg, eval_generator_params(state), 16, batch_size=16,
+                               seed=i,
+                               cond=(np.full(cfg.model.cond_dim, 0.25,
+                                             np.float32)
+                                     if cfg.model.cond_dim else None))
+            if cfg.model.family == "track":
+                from levelgan.track.render import write_track_png
+                write_track_png(f"{cfg.io.out_dir}/tracks_{i:08d}.png",
+                                samples, cols=4)
+            else:
+                from levelgan.cli.export import write_png
+                write_png(f"{cfg.io.out_dir}/levels_{i:08d}.png", samples,
+                          cols=4)
         if ckpt_every and i % ckpt_every == 0 and i < cfg.train.steps:
             save_checkpoint(ckpt_dir, state, cfg, keep=cfg.io.keep_ckpts)
 

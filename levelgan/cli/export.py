@@ -31,7 +31,8 @@ PALETTE = np.array([
 
 def load_generator(ckpt: str):
     cfg = Config.from_dict(load_manifest(ckpt)["config"])
-    example = jax.device_get(create_state(cfg))
+    from levelgan.api import make_state
+    example = jax.device_get(make_state(cfg, jax.random.key(0)))
     state, cfg = load_checkpoint(ckpt, example)
     return cfg, state
 
@@ -89,12 +90,21 @@ def main(argv=None):
     # warmup compile outside the timed region
     gen_fn = make_generate_fn(cfg, min(args.batch, args.n))
     t0 = time.perf_counter()
-    levels = generate(cfg, state.generator, args.n, seed=args.seed,
+    from levelgan.train.state import eval_generator_params
+    levels = generate(cfg, eval_generator_params(state), args.n, seed=args.seed,
                       batch_size=args.batch, cond=cond)
     dt = time.perf_counter() - t0
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    if args.out.endswith(".npz"):
+    if cfg.model.family == "track":
+        if args.out.endswith(".npz"):
+            np.savez_compressed(args.out, tracks=levels)
+        elif args.out.endswith(".png"):
+            from levelgan.track.render import write_track_png
+            write_track_png(args.out, levels)
+        else:
+            raise SystemExit("track export supports .npz or .png")
+    elif args.out.endswith(".npz"):
         np.savez_compressed(args.out, levels=levels)
     elif args.out.endswith(".txt"):
         write_txt(args.out, levels)

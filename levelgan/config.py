@@ -20,8 +20,12 @@ TILE_NAMES = ("empty", "wall", "start", "goal", "hazard", "coin", "sand", "ice")
 
 @dataclass(frozen=True)
 class ModelConfig:
+    family: str = "tile"          # 'tile' (grid levels) | 'track' (race tracks)
     level_size: int = 16          # square H = W tile grid
     n_tiles: int = 8              # tile vocabulary size (one-hot channels)
+    # track family (SURVEY.md R2's recurrent segment emitter):
+    n_segments: int = 32          # segments per track
+    rnn_hidden: int = 128         # GRU hidden width of the segment emitter
     latent_dim: int = 64
     base_channels: int = 64       # channels of the last (widest-resolution) G stage
     max_channels: int = 512
@@ -57,6 +61,11 @@ class TrainConfig:
     # >1 amortizes host->device dispatch latency; log/ckpt cadence is
     # rounded to multiples of this.
     steps_per_dispatch: int = 1
+    # LR schedule: 'none' | 'cosine' (decay to lr*0.01 over `steps`) —
+    # stabilizes the vanilla BCE GAN against late-training divergence.
+    lr_schedule: str = "none"
+    # EMA decay for the generator's export/eval weights (0 disables).
+    ema_decay: float = 0.999
 
 
 @dataclass(frozen=True)
@@ -232,6 +241,22 @@ def preset(name: str) -> Config:
                               lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
             curriculum=CurriculumConfig(),
         ),
+        # Extra model family (SURVEY.md R2 reconstruction): recurrent
+        # segment-emitter race tracks + car-kinematics curriculum.
+        "racetrack_32": Config(
+            preset="racetrack_32",
+            model=ModelConfig(family="track", n_segments=32, latent_dim=32),
+            train=TrainConfig(loss="wgan_gp", batch_size=64, steps=3000,
+                              lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
+        ),
+        "race_curriculum_32": Config(
+            preset="race_curriculum_32",
+            model=ModelConfig(family="track", n_segments=32, latent_dim=32),
+            train=TrainConfig(loss="curriculum", batch_size=64, steps=3000,
+                              n_critic=3,
+                              lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
+            curriculum=CurriculumConfig(rollout_steps=64),
+        ),
     }
     if name not in presets:
         raise KeyError(f"unknown preset '{name}'; available: {sorted(presets)}")
@@ -239,7 +264,8 @@ def preset(name: str) -> Config:
 
 
 PRESET_NAMES = ("toy_dcgan_16", "wgan_gp_32", "gumbel_64",
-                "conditional_32", "curriculum_16")
+                "conditional_32", "curriculum_16",
+                "racetrack_32", "race_curriculum_32")
 
 
 def load_config(path: str | None = None, preset_name: str | None = None,

@@ -74,6 +74,29 @@ def a2c_loss(params, onehot: jax.Array, traj: Trajectory,
     return loss, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent_mean}
 
 
+def a2c_loss_from_obs(params, policy_apply_fn, obs, actions, returns,
+                      active, cur: CurriculumConfig):
+    """Generic A2C loss over stored observations [T, B, ...] — used by env
+    families whose observations are plain vectors (e.g. the race sim)."""
+    def per_t(o, a, r, act):
+        logits, value = policy_apply_fn(params, o)
+        logp_all = jax.nn.log_softmax(logits, axis=-1)
+        logp = jnp.take_along_axis(logp_all, a[:, None], axis=-1).squeeze(-1)
+        adv = r - value
+        pg = -(logp * jax.lax.stop_gradient(adv)) * act
+        vl = jnp.square(adv) * act
+        ent = -(jnp.exp(logp_all) * logp_all).sum(-1) * act
+        return pg, vl, ent
+
+    pg, vl, ent = jax.vmap(per_t)(obs, actions, returns, active)
+    denom = jnp.maximum(active.sum(), 1.0)
+    pg_loss = pg.sum() / denom
+    v_loss = vl.sum() / denom
+    ent_mean = ent.sum() / denom
+    loss = pg_loss + cur.value_coef * v_loss - cur.entropy_coef * ent_mean
+    return loss, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent_mean}
+
+
 def agent_update(params, opt_state, tx: optax.GradientTransformation,
                  onehot, traj, cur: CurriculumConfig):
     (loss, aux), grads = jax.value_and_grad(a2c_loss, has_aux=True)(

@@ -82,8 +82,14 @@ def flat_to_state(example_state, flat: dict[str, np.ndarray]):
         elif name == "g_baseline":
             updates["g_baseline"] = flat.get(
                 "g_baseline", np.zeros((), np.float32))
+        elif name == "g_ema":
+            # pre-EMA checkpoints: fall back to the raw generator weights
+            if any(k.startswith("g_ema/") or k == "g_ema" for k in flat):
+                updates[name] = rebuild(name, name)
         else:
             updates[name] = rebuild(name, name)
+    if "g_ema" not in updates:
+        updates["g_ema"] = updates["generator"]
     return example_state.replace(**updates)
 
 

@@ -1,0 +1,39 @@
+"""On-device track transforms: symmetry augmentation + curvature histogram.
+
+Track-family twins of the tile family's D4 augmentation and tile histogram.
+A closed track's symmetries: cyclic start-point shift (roll the segment
+sequence) and mirroring (reverse the sequence and negate curvature) — both
+preserve the curvature-magnitude distribution and drivability, like D4
+preserves tile histograms.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from levelgan.track.data import KAPPA_MAX
+
+
+def track_augment(key: jax.Array, tracks: jax.Array) -> jax.Array:
+    """Random per-sample cyclic shift + mirror. tracks [B, T, 2]."""
+    b, t, _ = tracks.shape
+    k_shift, k_flip = jax.random.split(key)
+    shifts = jax.random.randint(k_shift, (b,), 0, t)
+    flips = jax.random.bernoulli(k_flip, 0.5, (b,))
+
+    def one(tr, shift, flip):
+        tr = jnp.roll(tr, shift, axis=0)
+        mirrored = jnp.flip(tr, axis=0).at[:, 0].multiply(-1.0)
+        return jnp.where(flip, mirrored, tr)
+
+    return jax.vmap(one)(tracks, shifts, flips)
+
+
+def curvature_hist_device(tracks: jax.Array, n_bins: int) -> jax.Array:
+    """On-device curvature-bin counts [n_bins] (matches
+    track.data.curvature_histogram's binning)."""
+    kappa = tracks[..., 0].reshape(-1)
+    edges = jnp.linspace(-KAPPA_MAX, KAPPA_MAX, n_bins - 1)
+    idx = jnp.searchsorted(edges, kappa, side="right")  # == np.digitize
+    return jax.nn.one_hot(idx, n_bins, dtype=jnp.float32).sum(axis=0)

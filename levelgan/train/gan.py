@@ -21,7 +21,7 @@ from levelgan.data.features import level_features
 from levelgan.lio.metrics import tile_histogram
 from levelgan.models import Critic, Generator, sample_head
 from levelgan.ops.gumbel import tau_schedule
-from levelgan.train.state import GANState, make_optimizers
+from levelgan.train.state import GANState, make_optimizers, update_ema
 
 
 def prepare_real(cfg: Config, key, batch_ids):
@@ -92,7 +92,8 @@ def make_gan_step(cfg: Config):
 
         new_state = state.replace(
             step=state.step + 1, generator=params_g, discriminator=params_d,
-            opt_g=opt_g, opt_d=opt_d)
+            opt_g=opt_g, opt_d=opt_d,
+            g_ema=update_ema(cfg, state.g_ema, params_g))
         metrics = {
             "d_loss": d_loss, "g_loss": g_loss,
             "d_real": dr, "d_fake": df,

@@ -29,12 +29,21 @@ class GANState:
     opt_g: Any                      # optax state
     opt_d: Any
     g_baseline: jax.Array = flax.struct.field(default_factory=lambda: jnp.zeros(()))
+    g_ema: Any = None               # EMA of G params (export/eval weights)
 
 
 def make_optimizers(cfg: Config):
     t = cfg.train
-    tx_g = optax.adam(t.lr_g, b1=t.beta1, b2=t.beta2)
-    tx_d = optax.adam(t.lr_d, b1=t.beta1, b2=t.beta2)
+
+    def lr(base):
+        if t.lr_schedule == "cosine":
+            return optax.cosine_decay_schedule(base, t.steps, alpha=0.01)
+        if t.lr_schedule == "none":
+            return base
+        raise ValueError(f"unknown lr_schedule '{t.lr_schedule}'")
+
+    tx_g = optax.adam(lr(t.lr_g), b1=t.beta1, b2=t.beta2)
+    tx_d = optax.adam(lr(t.lr_d), b1=t.beta1, b2=t.beta2)
     return tx_g, tx_d
 
 
@@ -59,7 +68,24 @@ def create_state(cfg: Config, key: jax.Array | None = None) -> GANState:
         discriminator=params_d,
         opt_g=tx_g.init(params_g),
         opt_d=tx_d.init(params_d),
+        g_ema=params_g,
     )
+
+
+def update_ema(cfg: Config, ema, params):
+    """EMA of generator params (export/eval weights; classic GAN
+    stabilizer — the raw generator oscillates late in adversarial
+    training, its EMA doesn't)."""
+    d = cfg.train.ema_decay
+    if not d:
+        return params
+    return jax.tree_util.tree_map(
+        lambda e, p: d * e + (1.0 - d) * p, ema, params)
+
+
+def eval_generator_params(state):
+    """The parameters to export/evaluate with (EMA if tracked)."""
+    return state.g_ema if state.g_ema is not None else state.generator
 
 
 def param_count(tree) -> int:

@@ -21,7 +21,7 @@ from levelgan.lio.metrics import tile_histogram
 from levelgan.models import Critic, Generator, sample_head
 from levelgan.ops.grad_penalty import gradient_penalty
 from levelgan.train.gan import current_tau, prepare_real
-from levelgan.train.state import GANState, make_optimizers
+from levelgan.train.state import GANState, make_optimizers, update_ema
 
 
 def make_wgan_gp_step(cfg: Config):
@@ -94,7 +94,8 @@ def make_wgan_gp_step(cfg: Config):
 
         new_state = state.replace(
             step=state.step + 1, generator=params_g, discriminator=params_d,
-            opt_g=opt_g, opt_d=opt_d)
+            opt_g=opt_g, opt_d=opt_d,
+            g_ema=update_ema(cfg, state.g_ema, params_g))
         metrics = {
             "d_loss": it["d_loss"][-1], "g_loss": g_loss,
             "gp": it["gp"][-1], "wdist": it["wdist"][-1],

@@ -6,7 +6,9 @@ from levelgan.config import PRESET_NAMES, Config, load_config, preset
 
 
 def test_presets_cover_baseline_configs():
-    assert len(PRESET_NAMES) == 5
+    # the five BASELINE.json configs plus the track-family extras
+    assert set(PRESET_NAMES) >= {"toy_dcgan_16", "wgan_gp_32", "gumbel_64",
+                                 "conditional_32", "curriculum_16"}
     p1 = preset("toy_dcgan_16")
     assert (p1.model.level_size, p1.train.batch_size, p1.train.steps) == (16, 64, 100)
     assert p1.train.loss == "gan"

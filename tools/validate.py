@@ -24,18 +24,34 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
-    from levelgan.api import generate
+    from levelgan.api import generate, make_dataset
     from levelgan.cli.export import load_generator
-    from levelgan.data.dataset import LevelDataset
+    from levelgan.lio.metrics import kl_divergence
     from levelgan.lio.stats import kl_gate, per_position_chi2
 
     cfg, state = load_generator(args.ckpt)
-    n = max(args.n, -(-100_000 // cfg.model.level_size ** 2))  # >=100k tiles
+    from levelgan.train.state import eval_generator_params
+    eval_params = eval_generator_params(state)
     cond = (np.full(cfg.model.cond_dim, 0.25, np.float32)
             if cfg.model.cond_dim else None)
-    levels = generate(cfg, state.generator, n, seed=args.seed, cond=cond)
+    ds = make_dataset(cfg)
 
-    ds = LevelDataset.from_config(cfg.data, cfg.model, seed=cfg.train.seed)
+    if cfg.model.family == "track":
+        from levelgan.track.data import TrackDataset, curvature_histogram
+        n = max(args.n, -(-100_000 // cfg.model.n_segments))
+        tracks = generate(cfg, eval_params, n, seed=args.seed, cond=cond)
+        kl = float(kl_divergence(
+            curvature_histogram(tracks, TrackDataset.N_BINS),
+            ds.tile_histogram()))
+        report = {"preset": cfg.preset, "n_tracks": int(n), "kl": kl,
+                  "threshold": args.kl_threshold,
+                  "passed": kl <= args.kl_threshold,
+                  "segments_sampled": int(n * cfg.model.n_segments)}
+        print(json.dumps(report, indent=2))
+        return 0 if report["passed"] else 1
+
+    n = max(args.n, -(-100_000 // cfg.model.level_size ** 2))  # >=100k tiles
+    levels = generate(cfg, eval_params, n, seed=args.seed, cond=cond)
     gate = kl_gate(levels, ds.tile_histogram(cfg.model.n_tiles),
                    cfg.model.n_tiles, args.kl_threshold)
     chi2 = per_position_chi2(levels, ds.levels, cfg.model.n_tiles)
