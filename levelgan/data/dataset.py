@@ -100,8 +100,17 @@ class LevelDataset:
 
     @classmethod
     def from_config(cls, data_cfg, model_cfg, seed: int = 0) -> "LevelDataset":
-        if data_cfg.corpus == "synthetic":
-            levels = synthetic_corpus(
+        if data_cfg.corpus in ("synthetic", "synthetic_native"):
+            gen = synthetic_corpus
+            if data_cfg.corpus == "synthetic_native":
+                from levelgan.native import native_available, \
+                    synthetic_corpus_native
+                if native_available():
+                    gen = synthetic_corpus_native
+                else:
+                    print("[levelgan] native corpusgen unavailable; "
+                          "falling back to NumPy synthetic corpus")
+            levels = gen(
                 data_cfg.corpus_size, model_cfg.level_size,
                 seed=data_cfg.corpus_seed, wall_density=data_cfg.wall_density,
                 hazard_rate=data_cfg.hazard_rate, coin_rate=data_cfg.coin_rate)
