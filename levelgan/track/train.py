@@ -121,7 +121,7 @@ def make_track_wgan_step(cfg: Config):
         new_state = state.replace(
             step=state.step + 1, generator=params_g,
             discriminator=params_d, opt_g=opt_g, opt_d=opt_d,
-            g_ema=update_ema(cfg, state.g_ema, params_g))
+            g_ema=update_ema(cfg, state.g_ema, params_g, state.step))
         metrics = {
             "d_loss": it["d_loss"][-1], "g_loss": g_loss,
             "gp": it["gp"][-1], "wdist": it["wdist"][-1],
@@ -211,7 +211,7 @@ def make_track_curriculum_step(cfg: Config):
             step=gan_state.step, generator=params_g,
             discriminator=gan_state.discriminator,
             opt_g=opt_g, opt_d=gan_state.opt_d, g_baseline=baseline,
-            g_ema=update_ema(cfg, gan_state.g_ema, params_g),
+            g_ema=update_ema(cfg, gan_state.g_ema, params_g, state.step),
             agent_strong=a_s, agent_weak=a_w, opt_as=opt_as, opt_aw=opt_aw)
         metrics = {
             **gan_metrics, "g_rl": rl_loss,

@@ -167,7 +167,7 @@ def make_curriculum_step(cfg: Config):
         new_state = state.replace(
             step=state.step + 1, generator=params_g, discriminator=params_d,
             opt_g=opt_g, opt_d=opt_d, g_baseline=baseline,
-            g_ema=update_ema(cfg, state.g_ema, params_g),
+            g_ema=update_ema(cfg, state.g_ema, params_g, state.step),
             agent_strong=a_s, agent_weak=a_w, opt_as=opt_as, opt_aw=opt_aw)
         metrics = {
             "d_loss": it["d_loss"][-1], "gp": it["gp"][-1],

@@ -93,7 +93,7 @@ def make_gan_step(cfg: Config):
         new_state = state.replace(
             step=state.step + 1, generator=params_g, discriminator=params_d,
             opt_g=opt_g, opt_d=opt_d,
-            g_ema=update_ema(cfg, state.g_ema, params_g))
+            g_ema=update_ema(cfg, state.g_ema, params_g, state.step))
         metrics = {
             "d_loss": d_loss, "g_loss": g_loss,
             "d_real": dr, "d_fake": df,

@@ -72,13 +72,17 @@ def create_state(cfg: Config, key: jax.Array | None = None) -> GANState:
     )
 
 
-def update_ema(cfg: Config, ema, params):
+def update_ema(cfg: Config, ema, params, step):
     """EMA of generator params (export/eval weights; classic GAN
     stabilizer — the raw generator oscillates late in adversarial
-    training, its EMA doesn't)."""
-    d = cfg.train.ema_decay
-    if not d:
+    training, its EMA doesn't).  Decay warms up as
+    min(ema_decay, (1+step)/(10+step)) so short runs track the live
+    params instead of the init."""
+    d_max = cfg.train.ema_decay
+    if not d_max:
         return params
+    step = step.astype(jnp.float32)
+    d = jnp.minimum(d_max, (1.0 + step) / (10.0 + step))
     return jax.tree_util.tree_map(
         lambda e, p: d * e + (1.0 - d) * p, ema, params)
 

@@ -95,7 +95,7 @@ def make_wgan_gp_step(cfg: Config):
         new_state = state.replace(
             step=state.step + 1, generator=params_g, discriminator=params_d,
             opt_g=opt_g, opt_d=opt_d,
-            g_ema=update_ema(cfg, state.g_ema, params_g))
+            g_ema=update_ema(cfg, state.g_ema, params_g, state.step))
         metrics = {
             "d_loss": it["d_loss"][-1], "g_loss": g_loss,
             "gp": it["gp"][-1], "wdist": it["wdist"][-1],
