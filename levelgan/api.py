@@ -61,13 +61,23 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False):
     gen = Generator(cfg.model)
     if pack and cfg.model.n_tiles > 16:
         raise ValueError("pack=True requires n_tiles <= 16 (4-bit tiles)")
+    # Export must match the TRAINED generative model: a Gumbel-head
+    # generator is a sampling model (tiles ~ categorical(softmax(logits))),
+    # so exporting argmax(logits) would collapse each cell to its mode and
+    # skew the tile marginals. Softmax-head models train against the soft
+    # sample whose decode IS argmax, so argmax export is faithful there.
+    export_head = "gumbel" if cfg.model.head == "gumbel" else "argmax"
 
     @jax.jit
     def gen_fn(params_g, key, cond=None):
-        z = jax.random.normal(key, (batch_size, cfg.model.latent_dim),
+        from levelgan.models import sample_head
+
+        k_z, k_s = jax.random.split(key)
+        z = jax.random.normal(k_z, (batch_size, cfg.model.latent_dim),
                               jnp.float32)
         logits = gen.apply({"params": params_g}, z, cond)
-        ids = decode(logits)
+        ids = decode(sample_head(k_s, logits, export_head,
+                                 tau=cfg.model.tau_end))
         if pack:
             flat = ids.reshape(batch_size, -1)
             return flat[:, 0::2] | (flat[:, 1::2] << 4)
@@ -254,7 +264,10 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
     if cfg.io.debug_nans:
         # SURVEY.md §5.2: NaN propagation debug mode (reference had none)
         jax.config.update("jax_debug_nans", True)
-    mesh = mesh if mesh is not None else make_mesh(cfg.dist.dp)
+    if mesh is None:
+        from levelgan.dist.mesh import init_distributed
+        init_distributed(cfg.dist)
+        mesh = make_mesh(cfg.dist.dp)
     n_dev = mesh.devices.size
     if cfg.train.batch_size % n_dev:
         raise ValueError(f"batch_size {cfg.train.batch_size} not divisible by "

@@ -16,10 +16,9 @@ import time
 import jax
 import numpy as np
 
-from levelgan.api import generate, make_generate_fn
-from levelgan.config import TILE_NAMES, Config
+from levelgan.api import generate
+from levelgan.config import Config
 from levelgan.lio.checkpoint import load_checkpoint, load_manifest
-from levelgan.train.state import create_state
 
 ASCII_TILES = ".#SGXo~*"
 # RGB palette per tile id (empty, wall, start, goal, hazard, coin, sand, ice)
@@ -82,13 +81,11 @@ def main(argv=None):
     if args.cond is not None:
         cond = np.array([float(x) for x in args.cond.split(",")], np.float32)
         if cond.size != cfg.model.cond_dim:
-            raise SystemExit(f"--cond needs {cfg.model.cond_dim} values "
-                             f"({', '.join(TILE_NAMES[:0] or ())}), got {cond.size}")
+            raise SystemExit(f"--cond needs {cfg.model.cond_dim} values, "
+                             f"got {cond.size}")
     elif cfg.model.cond_dim:
         cond = np.full(cfg.model.cond_dim, 0.25, np.float32)
 
-    # warmup compile outside the timed region
-    gen_fn = make_generate_fn(cfg, min(args.batch, args.n))
     t0 = time.perf_counter()
     from levelgan.train.state import eval_generator_params
     levels = generate(cfg, eval_generator_params(state), args.n, seed=args.seed,

@@ -84,6 +84,12 @@ class DistConfig:
     dp: int = 0                   # data-parallel size; 0 = all visible devices
     # Mesh axis names are fixed: ('data',). Batch is sharded on 'data';
     # params are replicated; XLA emits the ICI allreduce (SURVEY.md §2.4).
+    # Multi-host (SPMD across slices over DCN): set coordinator_address and
+    # num_processes; jax.distributed.initialize runs before the mesh is
+    # built and the SAME program spans all hosts' chips.
+    coordinator_address: str = ""   # e.g. "10.0.0.1:8476"; "" = single host
+    num_processes: int = 1
+    process_id: int = -1            # -1 = auto (TPU pods discover it)
 
 
 @dataclass(frozen=True)

@@ -75,12 +75,22 @@ def _carve_level(rng: np.random.Generator, size: int, wall_density: float,
 def synthetic_corpus(n: int, size: int, seed: int = 1234,
                      wall_density: float = 0.25, hazard_rate: float = 0.04,
                      coin_rate: float = 0.06) -> np.ndarray:
-    """Deterministic corpus of ``n`` uint8 levels [n, size, size]."""
+    """Deterministic corpus of ``n`` uint8 levels [n, size, size].
+
+    The density knobs are CENTERS: each level draws its own wall density /
+    hazard rate / coin rate around them, so the corpus spans a range of
+    feature values — without this spread the conditional model (config 4)
+    would have no conditioning signal to learn (cond features would be
+    ~constant across the corpus).
+    """
     rng = np.random.default_rng(seed)
-    return np.stack([
-        _carve_level(rng, size, wall_density, hazard_rate, coin_rate)
-        for _ in range(n)
-    ])
+    levels = []
+    for _ in range(n):
+        wd = np.clip(rng.uniform(0.6, 1.6) * wall_density, 0.05, 0.55)
+        hr = rng.uniform(0.0, 2.0) * hazard_rate
+        cr = rng.uniform(0.0, 2.0) * coin_rate
+        levels.append(_carve_level(rng, size, wd, hr, cr))
+    return np.stack(levels)
 
 
 class LevelDataset:

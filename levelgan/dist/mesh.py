@@ -20,6 +20,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def init_distributed(dist_cfg) -> bool:
+    """Multi-host rendezvous (SURVEY.md §2.4): call once before make_mesh.
+
+    Returns True if a multi-host runtime was initialized.  No-op for the
+    default single-host config.  After this, ``jax.devices()`` spans all
+    hosts' chips, the same jit program runs on every process (SPMD), and
+    cross-host collectives ride DCN — no code changes anywhere else.
+    """
+    if not dist_cfg.coordinator_address:
+        return False
+    kwargs = dict(coordinator_address=dist_cfg.coordinator_address,
+                  num_processes=dist_cfg.num_processes)
+    if dist_cfg.process_id >= 0:
+        kwargs["process_id"] = dist_cfg.process_id
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
 def make_mesh(dp: int = 0, devices=None) -> Mesh:
     """1-D data-parallel mesh over ``dp`` devices (0 = all visible)."""
     devices = list(devices if devices is not None else jax.devices())

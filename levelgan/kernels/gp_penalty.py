@@ -26,7 +26,6 @@ Oracle: ``ops.grad_penalty.gradient_penalty`` (pure XLA) — parity-tested.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

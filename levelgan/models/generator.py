@@ -22,12 +22,11 @@ from __future__ import annotations
 
 import numpy as np
 import flax.linen as nn
-import jax
+
 import jax.numpy as jnp
 
 from levelgan.config import ModelConfig
 from levelgan.ops.blocks import leaky_relu, upsample_block_xla, group_norm
-
 
 def generator_stages(cfg: ModelConfig) -> list[int]:
     """Per-stage output channels, 4x4 seed -> level_size. 16->2, 32->3, 64->4."""
@@ -37,7 +36,6 @@ def generator_stages(cfg: ModelConfig) -> list[int]:
     # widest at low res, halving upward: e.g. 64x64 -> [512, 256, 128, 64]
     return [min(cfg.base_channels * 2 ** (n - 1 - i), cfg.max_channels)
             for i in range(n)]
-
 
 class UpsampleStage(nn.Module):
     """ConvTranspose(4x4,s2) + GroupNorm(+FiLM) + LeakyReLU as one op."""
@@ -68,7 +66,6 @@ class UpsampleStage(nn.Module):
                 kernel_init=nn.initializers.zeros, name="film")(film), 2, axis=-1)
             y = y * (1.0 + g_mod[:, None, None, :]) + b_mod[:, None, None, :]
         return y.astype(dtype)
-
 
 class Generator(nn.Module):
     cfg: ModelConfig

@@ -138,7 +138,14 @@ int gen_levels(uint64_t seed, int64_t n, int32_t size, double wall_density,
     int32_t *carved = (int32_t *)malloc(sizeof(int32_t) * 2u * size * size);
     if (!carved) return -2;
     for (int64_t i = 0; i < n; i++) {
-        carve_level(&r, size, wall_density, hazard_rate, coin_rate,
+        /* per-level density spread around the centers (matches the NumPy
+         * backend's feature-diversity contract for conditioning) */
+        double wd = (0.6 + rng_double(&r)) * wall_density;
+        if (wd < 0.05) wd = 0.05;
+        if (wd > 0.55) wd = 0.55;
+        double hr = 2.0 * rng_double(&r) * hazard_rate;
+        double cr = 2.0 * rng_double(&r) * coin_rate;
+        carve_level(&r, size, wd, hr, cr,
                     out + (size_t)i * size * size, carved);
     }
     free(carved);

@@ -18,7 +18,7 @@ from levelgan.ops.grad_penalty import gradient_penalty
 from levelgan.track.data import KAPPA_MAX, TrackDataset
 from levelgan.track.models import TrackCritic, TrackGenerator
 from levelgan.track.ops import curvature_hist_device, track_augment
-from levelgan.track.race import (DriverPolicy, RaceParams, driver_apply,
+from levelgan.track.race import (RaceParams, driver_apply,
                                  init_driver, race_rollout)
 from levelgan.train.curriculum import CurriculumState, make_agent_optimizers
 from levelgan.train.state import GANState, make_optimizers, update_ema

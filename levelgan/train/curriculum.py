@@ -132,9 +132,9 @@ def make_curriculum_step(cfg: Config):
                          level_onehot, k_rw, ep)
 
         # ---- 4. agent updates (A2C replay) ---------------------------------
-        a_s, opt_as, s_loss, s_aux = agent_update(
+        a_s, opt_as, _, s_aux = agent_update(
             state.agent_strong, state.opt_as, tx_s, level_onehot, traj_s, cur)
-        a_w, opt_aw, w_loss, _ = agent_update(
+        a_w, opt_aw, _, _ = agent_update(
             state.agent_weak, state.opt_aw, tx_w, level_onehot, traj_w, cur)
 
         # ---- 5. generator update: adversarial + curriculum REINFORCE -------

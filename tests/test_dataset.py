@@ -44,6 +44,15 @@ def test_goal_reachable():
         assert goal in seen
 
 
+def test_corpus_feature_diversity():
+    """Per-level density spread: the conditional model needs variance in
+    the conditioning features across the corpus."""
+    levels = synthetic_corpus(256, 16, seed=11)
+    wall_frac = (levels == WALL).mean(axis=(1, 2))
+    assert wall_frac.std() > 0.04
+    assert wall_frac.max() - wall_frac.min() > 0.15
+
+
 def test_dataset_sampler():
     cfg = Config()
     ds = LevelDataset.from_config(cfg.data, cfg.model, seed=5)
