@@ -36,11 +36,12 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False):
     only the uint8 tile ids cross to host.  This is the levels/sec/chip
     benchmark surface (BASELINE.md).
 
-    ``pack=True`` (requires n_tiles <= 16) additionally nibble-packs two
-    tiles per byte ON DEVICE before the D2H transfer — host<->device
-    bandwidth is the export bottleneck, so halving the bytes nearly doubles
-    (and on this dev relay, ~8x-es) export throughput.  Unpack with
-    ``unpack_levels``.
+    ``pack=True`` (requires n_tiles <= 128) additionally bit-packs the tile
+    ids ON DEVICE at ``ceil(log2(n_tiles))`` bits per tile (bit-plane
+    layout: each group of 8 consecutive tiles becomes ``bits`` bytes)
+    before the D2H transfer — host<->device bandwidth is the export
+    bottleneck, so an 8-tile vocabulary moves 3 bits/tile instead of 8
+    (2.67x fewer bytes).  Unpack with ``unpack_levels``.
     """
     from levelgan.data.codec import decode
     from levelgan.models import Generator
@@ -59,8 +60,9 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False):
         return track_fn
 
     gen = Generator(cfg.model)
-    if pack and cfg.model.n_tiles > 16:
-        raise ValueError("pack=True requires n_tiles <= 16 (4-bit tiles)")
+    bits = tile_bits(cfg.model.n_tiles)
+    if pack and bits >= 8:
+        raise ValueError("pack=True requires n_tiles <= 128 (< 8 bits/tile)")
     # Export must match the TRAINED generative model: a Gumbel-head
     # generator is a sampling model (tiles ~ categorical(softmax(logits))),
     # so exporting argmax(logits) would collapse each cell to its mode and
@@ -79,19 +81,44 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False):
         ids = decode(sample_head(k_s, logits, export_head,
                                  tau=cfg.model.tau_end))
         if pack:
-            flat = ids.reshape(batch_size, -1)
-            return flat[:, 0::2] | (flat[:, 1::2] << 4)
+            # Bit-plane pack: 8 consecutive tiles -> `bits` bytes; byte j
+            # holds bit j of each of the 8 tiles (tile k in bit position k).
+            grp = ids.reshape(batch_size, -1, 8)
+            w = jnp.left_shift(jnp.uint8(1), jnp.arange(8, dtype=jnp.uint8))
+            planes = [
+                jnp.sum(((grp >> jnp.uint8(j)) & jnp.uint8(1)) * w,
+                        axis=-1, dtype=jnp.uint8)
+                for j in range(bits)
+            ]
+            return jnp.stack(planes, axis=-1).reshape(batch_size, -1)
         return ids
 
     return gen_fn
 
 
+def tile_bits(n_tiles: int) -> int:
+    """Bits per tile id for the packed export wire format."""
+    return max(1, (n_tiles - 1).bit_length())
+
+
+def packed_bytes(model) -> int:
+    """Packed bytes per level: H*W tiles at tile_bits() bits each."""
+    return model.level_size * model.level_size * tile_bits(model.n_tiles) // 8
+
+
 def unpack_levels(packed: np.ndarray, level_size: int) -> np.ndarray:
-    """Invert the on-device nibble packing: [B, H*W/2] -> uint8 [B, H, W]."""
+    """Invert the on-device bit-plane packing: [B, H*W*bits/8] -> uint8 [B, H, W].
+
+    ``bits`` is self-describing given the level size (packed bytes * 8 / HW).
+    """
     b = packed.shape[0]
-    out = np.empty((b, level_size * level_size), np.uint8)
-    out[:, 0::2] = packed & 0x0F
-    out[:, 1::2] = packed >> 4
+    hw = level_size * level_size
+    bits = packed.shape[1] * 8 // hw
+    grp = packed.reshape(b, hw // 8, bits)
+    shifts = np.arange(8, dtype=np.uint8)
+    out = np.zeros((b, hw // 8, 8), np.uint8)
+    for j in range(bits):
+        out |= (((grp[:, :, j:j + 1] >> shifts) & 1) << j).astype(np.uint8)
     return out.reshape(b, level_size, level_size)
 
 
@@ -107,7 +134,7 @@ def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
     """
     gen_fn = make_generate_fn(cfg, batch_size, pack=pack)
     m = cfg.model
-    per = m.level_size * m.level_size // (2 if pack else 1)
+    per = packed_bytes(m) if pack else m.level_size * m.level_size
 
     @jax.jit
     def many(params_g, key, cond=None):
@@ -129,8 +156,8 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
              pack: bool | None = None) -> np.ndarray:
     """Generate ``n`` levels as host uint8 [n, H, W].
 
-    ``pack=None`` auto-enables on-device nibble packing when the tile
-    vocabulary fits 4 bits (halves D2H bytes; see make_generate_fn).
+    ``pack=None`` auto-enables on-device bit-plane packing when the tile
+    vocabulary fits under 8 bits (see make_generate_fn).
     """
     batch_size = min(batch_size, n)
     if cfg.model.family == "track":
@@ -145,14 +172,15 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
             futures.append(gen_fn(params_g, sub, cond))
         return np.concatenate([np.asarray(f) for f in futures])[:n]
     if pack is None:
-        pack = cfg.model.n_tiles <= 16
+        pack = tile_bits(cfg.model.n_tiles) < 8
     if cond is not None:
         cond = jnp.broadcast_to(jnp.asarray(cond, jnp.float32),
                                 (batch_size, cfg.model.cond_dim))
     hw = cfg.model.level_size ** 2
+    per = packed_bytes(cfg.model) if pack else hw
     n_batches_total = -(-n // batch_size)
     # bound device memory per dispatch (~64MB of packed ids)
-    per_batch_bytes = batch_size * hw // (2 if pack else 1)
+    per_batch_bytes = batch_size * per
     nb_per_dispatch = max(1, min(n_batches_total,
                                  (64 << 20) // max(per_batch_bytes, 1)))
     many = make_generate_many_fn(cfg, batch_size, nb_per_dispatch, pack)
@@ -164,8 +192,7 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
         key, sub = jax.random.split(key)
         futures.append(many(params_g, sub, cond))
         done += nb_per_dispatch
-    pulled = [np.asarray(f).reshape(-1, hw // (2 if pack else 1))
-              for f in futures]
+    pulled = [np.asarray(f).reshape(-1, per) for f in futures]
     flat = np.concatenate(pulled)
     if pack:
         return unpack_levels(flat, cfg.model.level_size)[:n]

@@ -96,3 +96,39 @@ def test_export_cli_cond_validation(tmp_path):
                  "--out", str(tmp_path / "x.npz"),
                  "--cond", "0.3,0.05,0.05,0.4"])
     assert os.path.exists(tmp_path / "x.npz")
+
+
+def test_bitpack_roundtrip_against_unpacked(tmp_path):
+    """Packed export wire format: unpack(packed ids) == unpacked ids."""
+    from levelgan.api import make_generate_fn, packed_bytes, tile_bits, unpack_levels
+
+    cfg = preset("toy_dcgan_16").override(
+        **TINY, **{"train.steps": 1, "io.out_dir": str(tmp_path)})
+    res = train(cfg, echo=False)
+    params = jax.device_get(res["state"].generator)
+
+    key = jax.random.key(7)
+    plain = np.asarray(make_generate_fn(cfg, 8, pack=False)(params, key))
+    packed = np.asarray(make_generate_fn(cfg, 8, pack=True)(params, key))
+    assert tile_bits(cfg.model.n_tiles) == 3  # 8-tile vocabulary
+    assert packed.shape == (8, packed_bytes(cfg.model))
+    np.testing.assert_array_equal(
+        unpack_levels(packed, cfg.model.level_size), plain)
+
+
+def test_unpack_levels_pure():
+    """Host unpack inverts the documented bit-plane layout for all widths."""
+    from levelgan.api import unpack_levels
+
+    rng = np.random.default_rng(0)
+    for bits in (1, 2, 3, 4, 7):
+        ids = rng.integers(0, 2 ** bits, size=(3, 16 * 16)).astype(np.uint8)
+        grp = ids.reshape(3, -1, 8)
+        planes = [
+            (((grp >> j) & 1) << np.arange(8, dtype=np.uint8)).sum(
+                -1).astype(np.uint8)
+            for j in range(bits)
+        ]
+        packed = np.stack(planes, axis=-1).reshape(3, -1)
+        np.testing.assert_array_equal(
+            unpack_levels(packed, 16), ids.reshape(3, 16, 16))
