@@ -215,13 +215,15 @@ def preset(name: str) -> Config:
         "toy_dcgan_16": Config(
             preset="toy_dcgan_16",
             model=ModelConfig(level_size=16),
-            train=TrainConfig(loss="gan", batch_size=64, steps=100),
+            train=TrainConfig(loss="gan", batch_size=64, steps=100,
+                              steps_per_dispatch=50),
         ),
         # 2. WGAN-GP on 32x32 tile levels (fused GP double-backward kernel).
         "wgan_gp_32": Config(
             preset="wgan_gp_32",
             model=ModelConfig(level_size=32),
             train=TrainConfig(loss="wgan_gp", batch_size=64, steps=2000,
+                              steps_per_dispatch=50,
                               lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
         ),
         # 3. Gumbel-softmax discrete generator at 64x64, on-device pipeline.
@@ -229,6 +231,7 @@ def preset(name: str) -> Config:
             preset="gumbel_64",
             model=ModelConfig(level_size=64, head="gumbel"),
             train=TrainConfig(loss="wgan_gp", batch_size=64, steps=5000,
+                              steps_per_dispatch=50,
                               lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
         ),
         # 4. Conditional generator (difficulty/feature conditioning) + export CLI.
@@ -236,6 +239,7 @@ def preset(name: str) -> Config:
             preset="conditional_32",
             model=ModelConfig(level_size=32, head="gumbel", cond_dim=4),
             train=TrainConfig(loss="wgan_gp", batch_size=64, steps=5000,
+                              steps_per_dispatch=50,
                               lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
         ),
         # 5. Agent-in-the-loop adversarial curriculum, data-parallel mesh.
@@ -253,6 +257,7 @@ def preset(name: str) -> Config:
             preset="racetrack_32",
             model=ModelConfig(family="track", n_segments=32, latent_dim=32),
             train=TrainConfig(loss="wgan_gp", batch_size=64, steps=3000,
+                              steps_per_dispatch=50,
                               lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
         ),
         "race_curriculum_32": Config(

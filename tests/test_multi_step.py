@@ -18,7 +18,8 @@ BASE = {
 def test_spd_equivalent_and_tail_chunk(tmp_path):
     # steps=10 with spd=4 exercises two full chunks + a tail of 2
     cfg1 = preset("toy_dcgan_16").override(
-        **BASE, **{"train.steps": 10, "io.out_dir": str(tmp_path / "a")})
+        **BASE, **{"train.steps": 10, "train.steps_per_dispatch": 1,
+                   "io.out_dir": str(tmp_path / "a")})
     cfg4 = cfg1.override(**{"train.steps_per_dispatch": 4,
                             "io.out_dir": str(tmp_path / "b")})
     r1 = train(cfg1, echo=False)
