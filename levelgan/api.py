@@ -10,6 +10,8 @@ step program, sharded over the data mesh.
 from __future__ import annotations
 
 import functools
+import signal
+import threading
 import time
 
 import jax
@@ -365,9 +367,24 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
     ckpt_every = _round_cadence(cfg.io.ckpt_every)
     render_every = _round_cadence(cfg.io.render_every)
 
+    # Graceful preemption (SURVEY.md §5.3): SIGTERM/SIGINT requests a stop;
+    # the loop finishes the in-flight dispatch, checkpoints atomically, and
+    # returns — so `--resume auto` continues bit-exactly after the preempt.
+    # Handlers are only installable from the main thread; elsewhere (e.g.
+    # train() driven from a worker thread) preemption stays external.
+    stop_requested = False
+    old_handlers = {}
+    if threading.current_thread() is threading.main_thread():
+        def _request_stop(signum, frame):
+            nonlocal stop_requested
+            stop_requested = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            old_handlers[sig] = signal.signal(sig, _request_stop)
+
     jit_tail = None  # single-step jit for a final chunk < spd (lazy)
     i = start_step
-    while i < cfg.train.steps:
+    while i < cfg.train.steps and not stop_requested:
         k = min(spd, cfg.train.steps - i)
         if cfg.io.profile and not profiling and i >= start_step + min(10, spd):
             jax.profiler.start_trace(cfg.io.profile_dir or
@@ -434,8 +451,14 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
             save_checkpoint(ckpt_dir, state, cfg, keep=cfg.io.keep_ckpts)
 
     final_path = save_checkpoint(ckpt_dir, state, cfg, keep=cfg.io.keep_ckpts)
+    for sig, h in old_handlers.items():
+        signal.signal(sig, h)
+    if stop_requested and echo:
+        print(f"[levelgan] preempted at step {i}; checkpoint saved to "
+              f"{final_path} — resume with io.resume=auto")
     logger.close()
     return {"state": state, "checkpoint": final_path,
+            "preempted": stop_requested,
             "metrics": last_metrics,
             "kl": float(kl_divergence(gen_hist, ref_hist)),
             "ref_hist": ref_hist, "gen_hist": gen_hist}

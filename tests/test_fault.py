@@ -57,3 +57,49 @@ def test_torch_ckpt_exporter(tmp_path):
     # a G param tensor made it through with sane values
     leaf = loaded["generator"]["seed"]["kernel"]
     assert isinstance(leaf, torch.Tensor) and torch.isfinite(leaf).all()
+
+
+def test_sigterm_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
+    """SIGTERM mid-run -> finish dispatch, checkpoint, return; resume is
+    bit-exact vs an uninterrupted run (SURVEY.md §5.3 graceful preemption).
+
+    The signal is raised synchronously from inside the data feed (main
+    thread) so delivery is deterministic: the handler train() installed
+    flips its stop flag and the loop exits at the next step boundary."""
+    import signal
+
+    import levelgan.api as api
+
+    cfg_full = preset("toy_dcgan_16").override(
+        **TINY, **{"train.steps": 8, "train.steps_per_dispatch": 1,
+                   "io.out_dir": str(tmp_path / "full")})
+    res_full = train(cfg_full, echo=False)
+
+    cfg_pre = cfg_full.override(**{"io.out_dir": str(tmp_path / "pre")})
+    real_sample = api.sample_batch
+    calls = {"n": 0}
+
+    def sample_and_preempt(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            signal.raise_signal(signal.SIGTERM)
+        return real_sample(*args, **kwargs)
+
+    monkeypatch.setattr(api, "sample_batch", sample_and_preempt)
+    res_pre = train(cfg_pre, echo=False)
+    monkeypatch.undo()
+
+    assert res_pre["preempted"]
+    stopped_at = int(np.asarray(res_pre["state"].step))
+    assert stopped_at == 3  # the in-flight step completes, then we stop
+
+    cfg_resume = cfg_pre.override(**{"io.resume": "auto"})
+    res_resumed = train(cfg_resume, echo=False)
+    assert int(np.asarray(res_resumed["state"].step)) == 8
+    assert not res_resumed["preempted"]
+    for field in ("generator", "discriminator"):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            getattr(res_full["state"], field),
+            getattr(res_resumed["state"], field))
