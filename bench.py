@@ -40,7 +40,8 @@ def log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def measure_step_time(steps_per_dispatch: int = 50, trials: int = 7) -> float:
+def measure_step_time(steps_per_dispatch: int | None = None,
+                      trials: int = 7) -> float:
     import jax
     from jax.sharding import NamedSharding
 
@@ -52,13 +53,16 @@ def measure_step_time(steps_per_dispatch: int = 50, trials: int = 7) -> float:
     from levelgan.train.state import create_state
 
     cfg = preset("toy_dcgan_16")
-    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    if steps_per_dispatch is None:
+        steps_per_dispatch = max(1, cfg.train.steps_per_dispatch)
+    log(f"backend={jax.default_backend()} devices={jax.devices()} "
+        f"K={steps_per_dispatch}")
 
     mesh = make_mesh(cfg.dist.dp)
     repl = replicated_sharding(mesh)
-    b_shard = NamedSharding(mesh, batch_spec("gan", multi=True))
     ds = LevelDataset.from_config(cfg.data, cfg.model, seed=cfg.train.seed)
     step_fn, kind = make_step_fn(cfg)
+    b_shard = NamedSharding(mesh, batch_spec(kind, multi=True))
     state = jax.jit(lambda k: create_state(cfg, k), out_shardings=repl)(
         jax.random.key(0))
     multi = jax.jit(make_multi_step(step_fn, steps_per_dispatch),

@@ -377,88 +377,111 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
     if threading.current_thread() is threading.main_thread():
         def _request_stop(signum, frame):
             nonlocal stop_requested
+            if stop_requested:
+                # Second signal: stop being graceful — restore the previous
+                # handlers and re-deliver, so a stuck compile/dispatch can
+                # still be aborted the normal way.
+                _restore_handlers()
+                signal.raise_signal(signum)
+                return
             stop_requested = True
 
         for sig in (signal.SIGTERM, signal.SIGINT):
             old_handlers[sig] = signal.signal(sig, _request_stop)
 
+    def _restore_handlers():
+        while old_handlers:
+            sig, h = old_handlers.popitem()
+            signal.signal(sig, h)
+
     jit_tail = None  # single-step jit for a final chunk < spd (lazy)
     i = start_step
-    while i < cfg.train.steps and not stop_requested:
-        k = min(spd, cfg.train.steps - i)
-        if cfg.io.profile and not profiling and i >= start_step + min(10, spd):
-            jax.profiler.start_trace(cfg.io.profile_dir or
-                                     f"{cfg.io.out_dir}/profile")
-            profiling = True
-        if k == spd and spd > 1:
-            batch = np.stack([sample_batch(cfg, ds, kind, step=i + j)
-                              for j in range(k)])
-            state, metrics = jit_step(state, jax.device_put(batch, mb_shard))
-        elif spd == 1:
-            batch = jax.device_put(sample_batch(cfg, ds, kind, step=i), b_shard)
-            state, metrics = jit_step(state, batch)
-        else:
-            if jit_tail is None:
-                jit_tail = jax.jit(step_fn, donate_argnums=(0,),
-                                   in_shardings=(repl, b_shard))
-            for j in range(k):
-                batch = jax.device_put(
-                    sample_batch(cfg, ds, kind, step=i + j), b_shard)
-                state, metrics = jit_tail(state, batch)
-                if j < k - 1:
-                    gen_hist_dev = gen_hist_dev + metrics.pop("gen_hist")
-        i += k
-        if profiling and i >= start_step + min(10, spd) + 2 * spd + 10:
-            jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
+    try:
+        while i < cfg.train.steps and not stop_requested:
+            k = min(spd, cfg.train.steps - i)
+            if cfg.io.profile and not profiling and i >= start_step + min(10, spd):
+                jax.profiler.start_trace(cfg.io.profile_dir or
+                                         f"{cfg.io.out_dir}/profile")
+                profiling = True
+            if k == spd and spd > 1:
+                batch = np.stack([sample_batch(cfg, ds, kind, step=i + j)
+                                  for j in range(k)])
+                if stop_requested:  # signal landed while stacking: sampling is
+                    break           # stateless, so skipping the dispatch is safe
+                state, metrics = jit_step(state, jax.device_put(batch, mb_shard))
+            elif spd == 1:
+                batch = jax.device_put(sample_batch(cfg, ds, kind, step=i), b_shard)
+                if stop_requested:
+                    break
+                state, metrics = jit_step(state, batch)
+            else:
+                if jit_tail is None:
+                    jit_tail = jax.jit(step_fn, donate_argnums=(0,),
+                                       in_shardings=(repl, b_shard))
+                for j in range(k):
+                    batch = jax.device_put(
+                        sample_batch(cfg, ds, kind, step=i + j), b_shard)
+                    state, metrics = jit_tail(state, batch)
+                    if j < k - 1:
+                        gen_hist_dev = gen_hist_dev + metrics.pop("gen_hist")
+            i += k
+            if profiling and i >= start_step + min(10, spd) + 2 * spd + 10:
+                jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+
+            gen_hist_dev = gen_hist_dev + metrics.pop("gen_hist")
+            if (log_every and i % log_every == 0) or i == cfg.train.steps:
+                metrics = jax.device_get(metrics)
+                # per-window histogram: the logged KL reflects the CURRENT
+                # generator, not a run-cumulative average that masks drift
+                gen_hist = np.asarray(gen_hist_dev, np.float64)
+                gen_hist_dev = jnp.zeros_like(gen_hist_dev)
+                now = time.monotonic()
+                denom = (log_every if log_every and i % log_every == 0
+                         else (i % log_every if log_every else i) or i)
+                kl = float(kl_divergence(gen_hist, ref_hist))
+                last_metrics = logger.log(
+                    i, **metrics, kl=kl,
+                    step_ms=1e3 * (now - t_last) / denom)
+                t_last = now
+                if tb_writer is not None:
+                    for name, val in last_metrics.items():
+                        if isinstance(val, (int, float)) and name != "step":
+                            tb_writer.add_scalar(name, val, i)
+            if cfg.io.render_every and i % render_every == 0:
+                from levelgan.train.state import eval_generator_params
+                samples = generate(cfg, eval_generator_params(state), 16, batch_size=16,
+                                   seed=i,
+                                   cond=(np.full(cfg.model.cond_dim, 0.25,
+                                                 np.float32)
+                                         if cfg.model.cond_dim else None))
+                if cfg.model.family == "track":
+                    from levelgan.track.render import write_track_png
+                    write_track_png(f"{cfg.io.out_dir}/tracks_{i:08d}.png",
+                                    samples, cols=4)
+                else:
+                    from levelgan.cli.export import write_png
+                    write_png(f"{cfg.io.out_dir}/levels_{i:08d}.png", samples,
+                              cols=4)
+            if ckpt_every and i % ckpt_every == 0 and i < cfg.train.steps:
+                save_checkpoint(ckpt_dir, state, cfg, keep=cfg.io.keep_ckpts)
+    finally:
+        # Runs on normal exit, preemption, AND exceptions: never leave the
+        # process with our signal handlers or an unflushed profiler trace.
+        if profiling:
             jax.profiler.stop_trace()
             profiling = False
+        _restore_handlers()
 
-        gen_hist_dev = gen_hist_dev + metrics.pop("gen_hist")
-        if (log_every and i % log_every == 0) or i == cfg.train.steps:
-            metrics = jax.device_get(metrics)
-            # per-window histogram: the logged KL reflects the CURRENT
-            # generator, not a run-cumulative average that masks drift
-            gen_hist = np.asarray(gen_hist_dev, np.float64)
-            gen_hist_dev = jnp.zeros_like(gen_hist_dev)
-            now = time.monotonic()
-            denom = (log_every if log_every and i % log_every == 0
-                     else (i % log_every if log_every else i) or i)
-            kl = float(kl_divergence(gen_hist, ref_hist))
-            last_metrics = logger.log(
-                i, **metrics, kl=kl,
-                step_ms=1e3 * (now - t_last) / denom)
-            t_last = now
-            if tb_writer is not None:
-                for name, val in last_metrics.items():
-                    if isinstance(val, (int, float)) and name != "step":
-                        tb_writer.add_scalar(name, val, i)
-        if cfg.io.render_every and i % render_every == 0:
-            from levelgan.train.state import eval_generator_params
-            samples = generate(cfg, eval_generator_params(state), 16, batch_size=16,
-                               seed=i,
-                               cond=(np.full(cfg.model.cond_dim, 0.25,
-                                             np.float32)
-                                     if cfg.model.cond_dim else None))
-            if cfg.model.family == "track":
-                from levelgan.track.render import write_track_png
-                write_track_png(f"{cfg.io.out_dir}/tracks_{i:08d}.png",
-                                samples, cols=4)
-            else:
-                from levelgan.cli.export import write_png
-                write_png(f"{cfg.io.out_dir}/levels_{i:08d}.png", samples,
-                          cols=4)
-        if ckpt_every and i % ckpt_every == 0 and i < cfg.train.steps:
-            save_checkpoint(ckpt_dir, state, cfg, keep=cfg.io.keep_ckpts)
-
+    preempted = stop_requested and i < cfg.train.steps
     final_path = save_checkpoint(ckpt_dir, state, cfg, keep=cfg.io.keep_ckpts)
-    for sig, h in old_handlers.items():
-        signal.signal(sig, h)
-    if stop_requested and echo:
+    if preempted and echo:
         print(f"[levelgan] preempted at step {i}; checkpoint saved to "
               f"{final_path} — resume with io.resume=auto")
     logger.close()
     return {"state": state, "checkpoint": final_path,
-            "preempted": stop_requested,
+            "preempted": preempted,
             "metrics": last_metrics,
             "kl": float(kl_divergence(gen_hist, ref_hist)),
             "ref_hist": ref_hist, "gen_hist": gen_hist}

@@ -1,0 +1,98 @@
+"""Per-preset train-step benchmark (BASELINE.md protocol, all configs).
+
+For each preset: jit the preset's step function in the shipped multi-step
+dispatch mode (K steps via lax.scan in one program), warm up one dispatch,
+then time ``trials`` dispatches with a HARD host sync each (the only sync
+the dev axon relay cannot return early from — see bench.py) and report the
+median per-step ms. H2D batch feed is included.
+
+Usage: python -m tools.bench_all [--k 50] [--trials 5] [--out BENCH_ALL.json]
+Prints one JSON line per preset; writes the full table to --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+PRESETS = ("toy_dcgan_16", "wgan_gp_32", "gumbel_64", "conditional_32",
+           "curriculum_16", "racetrack_32", "race_curriculum_32")
+
+
+def bench_preset(name: str, k: int, trials: int) -> dict:
+    import jax
+    from jax.sharding import NamedSharding
+
+    from levelgan.api import (batch_spec, make_dataset, make_multi_step,
+                              make_state, make_step_fn, sample_batch)
+    from levelgan.config import preset
+    from levelgan.dist.mesh import make_mesh, replicated_sharding
+
+    cfg = preset(name)
+    mesh = make_mesh(cfg.dist.dp)
+    repl = replicated_sharding(mesh)
+    ds = make_dataset(cfg)
+    step_fn, kind = make_step_fn(cfg)
+    b_shard = NamedSharding(mesh, batch_spec(kind, multi=True))
+    state = jax.jit(lambda key: make_state(cfg, key), out_shardings=repl)(
+        jax.random.key(0))
+    multi = jax.jit(make_multi_step(step_fn, k), donate_argnums=(0,),
+                    in_shardings=(repl, b_shard))
+
+    def feed(step0: int):
+        bs = np.stack([sample_batch(cfg, ds, kind, step=step0 + j)
+                       for j in range(k)])
+        return jax.device_put(bs, b_shard)
+
+    def sync(metrics) -> float:
+        return float(np.asarray(metrics["d_loss"]).ravel()[-1])
+
+    t0 = time.perf_counter()
+    state, metrics = multi(state, feed(0))
+    sync(metrics)
+    compile_s = time.perf_counter() - t0
+
+    per_step = []
+    for t in range(trials):
+        t0 = time.perf_counter()
+        state, metrics = multi(state, feed((t + 1) * k))
+        last = sync(metrics)
+        per_step.append((time.perf_counter() - t0) / k)
+    assert np.isfinite(last), f"{name}: non-finite loss {last}"
+    return {
+        "preset": name,
+        "loss": kind,
+        "batch_size": cfg.train.batch_size,
+        "step_ms": round(float(np.median(per_step) * 1e3), 3),
+        "steps_per_dispatch": k,
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=50)
+    ap.add_argument("--trials", type=int, default=5)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--presets", default=",".join(PRESETS))
+    args = ap.parse_args(argv)
+
+    import jax
+    rows = []
+    for name in args.presets.split(","):
+        row = bench_preset(name, args.k, args.trials)
+        row["backend"] = jax.default_backend()
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+        jax.clear_caches()
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
