@@ -81,13 +81,15 @@ def measure_step_time(steps_per_dispatch: int | None = None,
     sync(metrics)
     log("warmup done, timing...")
 
-    per_step = []
+    # Production cadence: api.train syncs only at log points, so async
+    # dispatch overlaps the host batch feed with device compute.  Time
+    # `trials` dispatch blocks back-to-back with ONE hard sync at the end.
+    t0 = time.perf_counter()
     for _ in range(trials):
-        t0 = time.perf_counter()
         state, metrics = multi(state, feed())  # H2D feed inside timed region
-        sync(metrics)
-        per_step.append((time.perf_counter() - t0) / steps_per_dispatch)
-    return float(np.median(per_step) * 1e3)
+    sync(metrics)
+    return float((time.perf_counter() - t0)
+                 / (trials * steps_per_dispatch) * 1e3)
 
 
 def main():

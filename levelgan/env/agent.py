@@ -47,31 +47,42 @@ def policy_apply(params, obs):
     return AgentPolicy().apply({"params": params}, obs)
 
 
-def a2c_loss(params, onehot: jax.Array, traj: Trajectory,
-             cur: CurriculumConfig) -> tuple[jax.Array, dict]:
-    """Replay stored states, compute actor-critic loss over [T, B]."""
-    t_steps, b = traj.actions.shape
+def _a2c_terms(logits, value, actions, returns, active):
+    """Per-timestep A2C terms from policy outputs (shared by both losses)."""
+    logp_all = jax.nn.log_softmax(logits, axis=-1)
+    logp = jnp.take_along_axis(
+        logp_all, actions[:, None], axis=-1).squeeze(-1)
+    adv = returns - value
+    pg = -(logp * jax.lax.stop_gradient(adv)) * active
+    vl = jnp.square(adv) * active
+    ent = -(jnp.exp(logp_all) * logp_all).sum(-1) * active
+    return pg, vl, ent
 
-    def per_t(pos, coins, actions, returns, active):
-        obs = make_obs(onehot, pos, coins)
-        logits, value = policy_apply(params, obs)
-        logp_all = jax.nn.log_softmax(logits, axis=-1)
-        logp = jnp.take_along_axis(
-            logp_all, actions[:, None], axis=-1).squeeze(-1)
-        adv = returns - value
-        pg = -(logp * jax.lax.stop_gradient(adv)) * active
-        vl = jnp.square(adv) * active
-        ent = -(jnp.exp(logp_all) * logp_all).sum(-1) * active
-        return pg, vl, ent
 
-    pg, vl, ent = jax.vmap(per_t)(
-        traj.pos, traj.coins, traj.actions, traj.returns, traj.active)
-    denom = jnp.maximum(traj.active.sum(), 1.0)
+def _a2c_reduce(pg, vl, ent, active, cur: CurriculumConfig):
+    denom = jnp.maximum(active.sum(), 1.0)
     pg_loss = pg.sum() / denom
     v_loss = vl.sum() / denom
     ent_mean = ent.sum() / denom
     loss = pg_loss + cur.value_coef * v_loss - cur.entropy_coef * ent_mean
     return loss, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent_mean}
+
+
+def a2c_loss(params, onehot: jax.Array, traj: Trajectory,
+             cur: CurriculumConfig) -> tuple[jax.Array, dict]:
+    """Replay stored states, compute actor-critic loss over [T, B].
+
+    Observations are recomputed per timestep from (onehot, pos, coins)
+    rather than stored — [T,B,H,W,C] obs tensors would dominate memory.
+    """
+    def per_t(pos, coins, actions, returns, active):
+        obs = make_obs(onehot, pos, coins)
+        logits, value = policy_apply(params, obs)
+        return _a2c_terms(logits, value, actions, returns, active)
+
+    pg, vl, ent = jax.vmap(per_t)(
+        traj.pos, traj.coins, traj.actions, traj.returns, traj.active)
+    return _a2c_reduce(pg, vl, ent, traj.active, cur)
 
 
 def a2c_loss_from_obs(params, policy_apply_fn, obs, actions, returns,
@@ -80,21 +91,10 @@ def a2c_loss_from_obs(params, policy_apply_fn, obs, actions, returns,
     families whose observations are plain vectors (e.g. the race sim)."""
     def per_t(o, a, r, act):
         logits, value = policy_apply_fn(params, o)
-        logp_all = jax.nn.log_softmax(logits, axis=-1)
-        logp = jnp.take_along_axis(logp_all, a[:, None], axis=-1).squeeze(-1)
-        adv = r - value
-        pg = -(logp * jax.lax.stop_gradient(adv)) * act
-        vl = jnp.square(adv) * act
-        ent = -(jnp.exp(logp_all) * logp_all).sum(-1) * act
-        return pg, vl, ent
+        return _a2c_terms(logits, value, a, r, act)
 
     pg, vl, ent = jax.vmap(per_t)(obs, actions, returns, active)
-    denom = jnp.maximum(active.sum(), 1.0)
-    pg_loss = pg.sum() / denom
-    v_loss = vl.sum() / denom
-    ent_mean = ent.sum() / denom
-    loss = pg_loss + cur.value_coef * v_loss - cur.entropy_coef * ent_mean
-    return loss, {"pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent_mean}
+    return _a2c_reduce(pg, vl, ent, active, cur)
 
 
 def agent_update(params, opt_state, tx: optax.GradientTransformation,

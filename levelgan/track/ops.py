@@ -37,3 +37,24 @@ def curvature_hist_device(tracks: jax.Array, n_bins: int) -> jax.Array:
     edges = jnp.linspace(-KAPPA_MAX, KAPPA_MAX, n_bins - 1)
     idx = jnp.searchsorted(edges, kappa, side="right")  # == np.digitize
     return jax.nn.one_hot(idx, n_bins, dtype=jnp.float32).sum(axis=0)
+
+
+def track_features(tracks: jax.Array) -> jax.Array:
+    """Conditioning features [B, 4] from tracks [B, T, 2] — the track-family
+    twin of data.features.level_features (SURVEY.md N6).
+
+    Invariant under track_augment's symmetry group (cyclic shift; mirror =
+    reversal + curvature negation): all terms use |kappa| / even statistics
+    or order-insensitive aggregates.  Each feature is normalized to O(1).
+    """
+    from levelgan.track.data import WIDTH_MAX, WIDTH_MIN
+
+    kappa = tracks[..., 0].astype(jnp.float32)
+    width = tracks[..., 1].astype(jnp.float32)
+    mean_abs_k = jnp.abs(kappa).mean(-1) / KAPPA_MAX
+    rms_k = jnp.sqrt((kappa * kappa).mean(-1)) / KAPPA_MAX
+    mean_w = (width.mean(-1) - WIDTH_MIN) / (WIDTH_MAX - WIDTH_MIN)
+    # fraction of sign changes between consecutive segments (cyclic)
+    sgn = jnp.sign(kappa)
+    flips = (sgn * jnp.roll(sgn, 1, axis=-1) < 0).astype(jnp.float32)
+    return jnp.stack([mean_abs_k, rms_k, mean_w, flips.mean(-1)], axis=-1)

@@ -46,6 +46,8 @@ def rasterize_track(track: np.ndarray, size: int = 128,
 def write_track_png(path: str, tracks: np.ndarray, cols: int = 4,
                     size: int = 128):
     n = len(tracks)
+    if n == 0:
+        raise ValueError("write_track_png needs at least one track")
     cols = min(cols, n)
     rows = (n + cols - 1) // cols
     grid = np.zeros((rows * size, cols * size), np.uint8)

@@ -17,7 +17,8 @@ from levelgan.config import Config
 from levelgan.ops.grad_penalty import gradient_penalty
 from levelgan.track.data import KAPPA_MAX, TrackDataset
 from levelgan.track.models import TrackCritic, TrackGenerator
-from levelgan.track.ops import curvature_hist_device, track_augment
+from levelgan.track.ops import (curvature_hist_device, track_augment,
+                                track_features)
 from levelgan.track.race import (RaceParams, driver_apply,
                                  init_driver, race_rollout)
 from levelgan.train.curriculum import CurriculumState, make_agent_optimizers
@@ -67,34 +68,38 @@ def _prepare_real(cfg: Config, key, batch):
     return track_augment(key, batch) if cfg.data.augment else batch
 
 
-def make_track_wgan_step(cfg: Config):
-    """jit-able WGAN-GP step on tracks. Batch: float32 [n_critic, B, T, 2]."""
+def make_track_critic_update(cfg: Config):
+    """Shared n_critic WGAN-GP critic scan (used by both track steps).
+
+    Returns ``(params_d, opt_d, it_metrics)`` given the current generator.
+    Conditioning (model.cond_dim > 0): symmetry-invariant ``track_features``
+    of each real minibatch condition both networks, mirroring the tile
+    family's wgan_gp step.
+    """
     m, t = cfg.model, cfg.train
     gen, critic = TrackGenerator(m), TrackCritic(m)
-    tx_g, tx_d = make_optimizers(cfg)
+    _, tx_d = make_optimizers(cfg)
 
     def d_apply(pd, x, cond):
         return critic.apply({"params": pd}, x, cond)
 
-    def step_fn(state: GANState, batch):
-        n_critic, bsz = batch.shape[0], batch.shape[1]
-        base = jax.random.fold_in(state.rng, state.step)
-        iter_keys = jax.random.split(jax.random.fold_in(base, 0), n_critic)
-        k_zg = jax.random.fold_in(base, 1)
+    def critic_update(params_g, params_d, opt_d, batch, iter_keys):
+        bsz = batch.shape[1]
 
         def critic_iter(carry, xs):
             params_d, opt_d = carry
             real_raw, k = xs
             k_aug, k_z, k_eps = jax.random.split(k, 3)
             real = _prepare_real(cfg, k_aug, real_raw)
+            cond = track_features(real) if m.cond_dim else None
             z = jax.random.normal(k_z, (bsz, m.latent_dim), jnp.float32)
             fake = jax.lax.stop_gradient(
-                gen.apply({"params": state.generator}, z))
+                gen.apply({"params": params_g}, z, cond))
 
             def d_loss_fn(pd):
-                wdist = d_apply(pd, real, None).mean() - \
-                    d_apply(pd, fake, None).mean()
-                gp = gradient_penalty(d_apply, pd, k_eps, real, fake)
+                wdist = d_apply(pd, real, cond).mean() - \
+                    d_apply(pd, fake, cond).mean()
+                gp = gradient_penalty(d_apply, pd, k_eps, real, fake, cond)
                 return -wdist + t.gp_lambda * gp, (gp, wdist)
 
             (d_loss, (gp, wdist)), grads = jax.value_and_grad(
@@ -104,14 +109,37 @@ def make_track_wgan_step(cfg: Config):
                     {"d_loss": d_loss, "gp": gp, "wdist": wdist})
 
         (params_d, opt_d), it = jax.lax.scan(
-            critic_iter, (state.discriminator, state.opt_d),
-            (batch, iter_keys))
+            critic_iter, (params_d, opt_d), (batch, iter_keys))
+        return params_d, opt_d, it
 
+    return critic_update, d_apply
+
+
+def make_track_wgan_step(cfg: Config):
+    """jit-able WGAN-GP step on tracks. Batch: float32 [n_critic, B, T, 2]."""
+    m = cfg.model
+    gen = TrackGenerator(m)
+    tx_g, _ = make_optimizers(cfg)
+    critic_update, d_apply = make_track_critic_update(cfg)
+
+    def step_fn(state: GANState, batch):
+        n_critic, bsz = batch.shape[0], batch.shape[1]
+        base = jax.random.fold_in(state.rng, state.step)
+        iter_keys = jax.random.split(jax.random.fold_in(base, 0), n_critic)
+        k_zg = jax.random.fold_in(base, 1)
+
+        params_d, opt_d, it = critic_update(
+            state.generator, state.discriminator, state.opt_d,
+            batch, iter_keys)
+
+        # Condition features are symmetry-invariant; take them from the last
+        # (un-augmented) real minibatch, as in the tile wgan_gp step.
+        cond_g = track_features(batch[-1]) if m.cond_dim else None
         z = jax.random.normal(k_zg, (bsz, m.latent_dim), jnp.float32)
 
         def g_loss_fn(pg):
-            fake = gen.apply({"params": pg}, z)
-            return -d_apply(params_d, fake, None).mean(), fake
+            fake = gen.apply({"params": pg}, z, cond_g)
+            return -d_apply(params_d, fake, cond_g).mean(), fake
 
         (g_loss, fake), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.generator)
@@ -134,39 +162,44 @@ def make_track_wgan_step(cfg: Config):
 
 def make_track_curriculum_step(cfg: Config):
     """Race curriculum: WGAN-GP realism + drivers race generated tracks +
-    G REINFORCE on drivability/skill-gap reward.
-    Batch: float32 [n_critic, B, T, 2]."""
+    G update combining the adversarial and REINFORCE terms (drivability /
+    skill gap) in ONE optimizer step — the G optimizer chain, LR schedule,
+    and EMA each advance exactly once per curriculum step, matching the tile
+    curriculum.  Batch: float32 [n_critic, B, T, 2]."""
     m, cur = cfg.model, cfg.curriculum
     gen = TrackGenerator(m)
     tx_g, _ = make_optimizers(cfg)
     tx_s, tx_w = make_agent_optimizers(cfg)
     rp = race_params(cfg)
-    wgan_step = make_track_wgan_step(cfg)
+    critic_update, d_apply = make_track_critic_update(cfg)
     from levelgan.env.agent import a2c_loss_from_obs
 
     def step_fn(state: CurriculumState, batch):
-        bsz = batch.shape[1]
+        n_critic, bsz = batch.shape[0], batch.shape[1]
         base = jax.random.fold_in(state.rng, state.step)
+        iter_keys = jax.random.split(jax.random.fold_in(base, 0), n_critic)
         k_z, k_expl, k_rs, k_rw = jax.random.split(
             jax.random.fold_in(base, 2), 4)
 
-        # ---- 1. adversarial (realism) updates via the shared WGAN step ----
-        gan_state = GANState(
-            step=state.step, rng=state.rng, generator=state.generator,
-            discriminator=state.discriminator, opt_g=state.opt_g,
-            opt_d=state.opt_d, g_baseline=state.g_baseline,
-            g_ema=state.g_ema)
-        gan_state, gan_metrics = wgan_step(gan_state, batch)
+        # ---- 1. critic (realism) updates via the shared scan --------------
+        params_d, opt_d, it = critic_update(
+            state.generator, state.discriminator, state.opt_d,
+            batch, iter_keys)
 
         # ---- 2. sample tracks with exploration noise (REINFORCE) ----------
+        cond_g = track_features(batch[-1]) if m.cond_dim else None
         z = jax.random.normal(k_z, (bsz, m.latent_dim), jnp.float32)
-        mean_tracks = gen.apply({"params": gan_state.generator}, z)
+        mean_tracks = gen.apply({"params": state.generator}, z, cond_g)
         noise = EXPLORE_SIGMA * jax.random.normal(
             k_expl, mean_tracks[..., 0].shape)
-        kappa_s = jnp.clip(mean_tracks[..., 0] + noise,
-                           -KAPPA_MAX, KAPPA_MAX)
+        # The Gaussian policy sample is scored UNCLIPPED (unbiased
+        # score-function estimator); the clip to the physical curvature
+        # range happens inside the "environment" boundary below.
+        kappa_s = mean_tracks[..., 0] + noise
+        kappa_env = jnp.clip(kappa_s, -KAPPA_MAX, KAPPA_MAX)
         tracks = jax.lax.stop_gradient(
-            jnp.stack([kappa_s, mean_tracks[..., 1]], axis=-1))
+            jnp.stack([kappa_env, mean_tracks[..., 1]], axis=-1))
+        kappa_s = jax.lax.stop_gradient(kappa_s)
 
         # ---- 3. both drivers race the sampled tracks ----------------------
         traj_s = race_rollout(driver_apply, state.agent_strong, tracks, k_rs, rp)
@@ -174,19 +207,22 @@ def make_track_curriculum_step(cfg: Config):
 
         # ---- 4. driver A2C updates ----------------------------------------
         def update_driver(params, opt, tx, traj):
-            (loss, aux), grads = jax.value_and_grad(
-                a2c_loss_from_obs, has_aux=True)(
-                    params, driver_apply, traj.obs, traj.actions,
-                    traj.returns, traj.active, cur)
-            upd, opt = tx.update(grads, opt, params)
-            return optax.apply_updates(params, upd), opt, aux
+            aux = None
+            for _ in range(max(1, cur.agent_updates_per_step)):
+                (_, aux), grads = jax.value_and_grad(
+                    a2c_loss_from_obs, has_aux=True)(
+                        params, driver_apply, traj.obs, traj.actions,
+                        traj.returns, traj.active, cur)
+                upd, opt = tx.update(grads, opt, params)
+                params = optax.apply_updates(params, upd)
+            return params, opt, aux
 
         a_s, opt_as, s_aux = update_driver(
             state.agent_strong, state.opt_as, tx_s, traj_s)
         a_w, opt_aw, _ = update_driver(
             state.agent_weak, state.opt_aw, tx_w, traj_w)
 
-        # ---- 5. G REINFORCE on drivability + skill gap ---------------------
+        # ---- 5. ONE G update: adversarial + REINFORCE ----------------------
         horizon = rp.rollout_steps * rp.v_max * rp.dt
         drive_s = traj_s.progress / horizon
         drive_w = traj_w.progress / horizon
@@ -194,32 +230,38 @@ def make_track_curriculum_step(cfg: Config):
                   + cur.w_gap * (traj_s.total_return - traj_w.total_return))
         advantage = jax.lax.stop_gradient(reward - state.g_baseline)
 
-        def g_rl_loss(pg):
-            mu = gen.apply({"params": pg}, z)[..., 0]
+        def g_loss_fn(pg):
+            out = gen.apply({"params": pg}, z, cond_g)
+            gan_term = -d_apply(params_d, out, cond_g).mean()
+            mu = out[..., 0]
             logp = -0.5 * jnp.sum(
                 ((kappa_s - mu) / EXPLORE_SIGMA) ** 2, axis=-1)
-            return -(advantage * logp).mean() / m.n_segments
+            rl_term = -(advantage * logp).mean() / m.n_segments
+            return gan_term + rl_term, (gan_term, rl_term, out)
 
-        rl_loss, g_grads = jax.value_and_grad(g_rl_loss)(gan_state.generator)
-        g_updates, opt_g = tx_g.update(g_grads, gan_state.opt_g,
-                                       gan_state.generator)
-        params_g = optax.apply_updates(gan_state.generator, g_updates)
+        (g_loss, (gan_term, rl_term, fake)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.generator)
+        g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.generator)
+        params_g = optax.apply_updates(state.generator, g_updates)
         baseline = (cur.g_baseline_decay * state.g_baseline
                     + (1 - cur.g_baseline_decay) * reward.mean())
 
         new_state = state.replace(
-            step=gan_state.step, generator=params_g,
-            discriminator=gan_state.discriminator,
-            opt_g=opt_g, opt_d=gan_state.opt_d, g_baseline=baseline,
-            g_ema=update_ema(cfg, gan_state.g_ema, params_g, state.step),
+            step=state.step + 1, generator=params_g, discriminator=params_d,
+            opt_g=opt_g, opt_d=opt_d, g_baseline=baseline,
+            g_ema=update_ema(cfg, state.g_ema, params_g, state.step),
             agent_strong=a_s, agent_weak=a_w, opt_as=opt_as, opt_aw=opt_aw)
         metrics = {
-            **gan_metrics, "g_rl": rl_loss,
+            "d_loss": it["d_loss"][-1], "gp": it["gp"][-1],
+            "wdist": it["wdist"][-1], "g_loss": g_loss,
+            "g_gan": gan_term, "g_rl": rl_term,
             "drivability": drive_s.mean(), "drivability_weak": drive_w.mean(),
             "skill_gap": (traj_s.total_return - traj_w.total_return).mean(),
             "crashes": traj_s.crashes.mean(),
             "laps": (traj_s.progress / m.n_segments).mean(),
             "agent_entropy": s_aux["entropy"],
+            "gen_hist": curvature_hist_device(
+                jax.lax.stop_gradient(fake), TrackDataset.N_BINS),
         }
         return new_state, metrics
 

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import optax
 
 from levelgan.config import Config
-from levelgan.data.codec import decode, encode
+from levelgan.data.codec import decode
+from levelgan.data.features import level_features
 from levelgan.env.agent import agent_update, init_agent, policy_apply
 from levelgan.env.sim import EnvParams, rollout
 from levelgan.lio.metrics import tile_histogram
@@ -118,12 +119,17 @@ def make_curriculum_step(cfg: Config):
             (batch_ids, iter_keys))
 
         # ---- 2. G samples a batch of discrete levels -----------------------
+        # Condition features are D4-invariant; like the WGAN-GP step, take
+        # them from the last (un-augmented) real minibatch when conditioning.
+        cond_g = level_features(batch_ids[-1]) if m.cond_dim else None
         z = jax.random.normal(k_zg, (bsz, m.latent_dim), jnp.float32)
-        logits = gen.apply({"params": state.generator}, z, None)
+        logits = gen.apply({"params": state.generator}, z, cond_g)
         levels_soft = jax.lax.stop_gradient(
             sample_head(k_sg, logits, "gumbel", tau))
         level_ids = decode(levels_soft)
-        level_onehot = encode(level_ids, m.n_tiles, dtype=jnp.float32)
+        # hard=True Gumbel-ST already emits a one-hot forward value, so the
+        # one-hot tensor IS the sample (no re-encode round trip)
+        level_onehot = levels_soft.astype(jnp.float32)
 
         # ---- 3. both agents play the levels --------------------------------
         traj_s = rollout(policy_apply, state.agent_strong, level_ids,
@@ -131,11 +137,18 @@ def make_curriculum_step(cfg: Config):
         traj_w = rollout(policy_apply, state.agent_weak, level_ids,
                          level_onehot, k_rw, ep)
 
-        # ---- 4. agent updates (A2C replay) ---------------------------------
-        a_s, opt_as, _, s_aux = agent_update(
-            state.agent_strong, state.opt_as, tx_s, level_onehot, traj_s, cur)
-        a_w, opt_aw, _, _ = agent_update(
-            state.agent_weak, state.opt_aw, tx_w, level_onehot, traj_w, cur)
+        # ---- 4. agent updates (A2C replay; cfg'd number of passes) ---------
+        def multi_agent_update(params, opt, tx, traj):
+            aux = None
+            for _ in range(max(1, cur.agent_updates_per_step)):
+                params, opt, _, aux = agent_update(
+                    params, opt, tx, level_onehot, traj, cur)
+            return params, opt, aux
+
+        a_s, opt_as, s_aux = multi_agent_update(
+            state.agent_strong, state.opt_as, tx_s, traj_s)
+        a_w, opt_aw, _ = multi_agent_update(
+            state.agent_weak, state.opt_aw, tx_w, traj_w)
 
         # ---- 5. generator update: adversarial + curriculum REINFORCE -------
         play_s = traj_s.reached.astype(jnp.float32)
@@ -144,7 +157,6 @@ def make_curriculum_step(cfg: Config):
                         - cur.w_anti * play_w
                         + cur.w_gap * (traj_s.total_return - traj_w.total_return))
         advantage = jax.lax.stop_gradient(level_reward - state.g_baseline)
-        cond_g = None
 
         def g_loss_fn(pg):
             lg = gen.apply({"params": pg}, z, cond_g)

@@ -74,3 +74,21 @@ def test_deterministic(cfg):
         _, m = step(state, batch)
         outs.append(float(m["g_loss"]))
     assert outs[0] == outs[1]
+
+
+def test_conditional_curriculum_step_runs(cfg):
+    """cond_dim > 0 must condition G in the curriculum step too (it used to
+    crash: the critic loop supported cond but G sampling hard-coded None)."""
+    ccfg = cfg.override(**{"model.cond_dim": 4,
+                           "curriculum.agent_updates_per_step": 2})
+    state = create_curriculum_state(ccfg)
+    step = jax.jit(make_curriculum_step(ccfg))
+    batch = np.random.default_rng(1).integers(
+        0, 8, size=(2, 8, 16, 16)).astype(np.uint8)
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["g_loss"]))
+    # agent_updates_per_step honored: adam count advanced by 2
+    count = jax.tree_util.tree_leaves(
+        [l for l in jax.tree_util.tree_leaves(new_state.opt_as)
+         if np.asarray(l).ndim == 0])
+    assert any(int(np.asarray(c)) == 2 for c in count)

@@ -103,3 +103,47 @@ def test_track_export_and_validate(tmp_path):
     rc = validate_main(["--ckpt", res["checkpoint"], "--n", "64",
                         "--kl-threshold", "10.0"])
     assert rc == 0
+
+
+def test_track_features_symmetry_invariant():
+    import jax.numpy as jnp
+    from levelgan.track.data import synthetic_tracks
+    from levelgan.track.ops import track_augment, track_features
+
+    tr = jnp.asarray(synthetic_tracks(32, 16, 0))
+    f = track_features(tr)
+    assert f.shape == (32, 4)
+    fa = track_features(track_augment(jax.random.key(3), tr))
+    np.testing.assert_allclose(np.asarray(f), np.asarray(fa), atol=1e-5)
+
+
+def test_conditional_track_wgan_step_runs():
+    from levelgan.track.train import create_track_state, make_track_wgan_step
+
+    cfg = preset("racetrack_32").override(**TINY, **{"model.cond_dim": 4})
+    state = create_track_state(cfg)
+    step = jax.jit(make_track_wgan_step(cfg))
+    rng = np.random.default_rng(0)
+    from levelgan.track.data import synthetic_tracks
+    batch = np.stack([synthetic_tracks(8, 16, s) for s in (1, 2)])
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_race_curriculum_single_g_update_per_step():
+    """The combined G update must advance the G optimizer exactly once per
+    curriculum step (it used to advance twice: WGAN + RL separately)."""
+    from levelgan.track.data import synthetic_tracks
+    from levelgan.track.train import (create_track_curriculum_state,
+                                      make_track_curriculum_step)
+
+    cfg = preset("race_curriculum_32").override(**TINY)
+    state = create_track_curriculum_state(cfg)
+    step = jax.jit(make_track_curriculum_step(cfg))
+    batch = np.stack([synthetic_tracks(8, 16, s) for s in (1, 2)])
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["g_loss"]))
+    counts = [int(np.asarray(l))
+              for l in jax.tree_util.tree_leaves(state.opt_g)
+              if np.asarray(l).ndim == 0]
+    assert 1 in counts and 2 not in counts
