@@ -45,8 +45,9 @@ def measure_step_time(steps_per_dispatch: int | None = None,
     import jax
     from jax.sharding import NamedSharding
 
-    from levelgan.api import (batch_spec, make_multi_step, make_step_fn,
-                              sample_batch)
+    from levelgan.api import (batch_spec, corpus_array, make_device_feed_step,
+                              make_multi_step, make_multi_step_device,
+                              make_step_fn, sample_batch)
     from levelgan.config import preset
     from levelgan.data.dataset import LevelDataset
     from levelgan.dist.mesh import make_mesh, replicated_sharding
@@ -56,7 +57,7 @@ def measure_step_time(steps_per_dispatch: int | None = None,
     if steps_per_dispatch is None:
         steps_per_dispatch = max(1, cfg.train.steps_per_dispatch)
     log(f"backend={jax.default_backend()} devices={jax.devices()} "
-        f"K={steps_per_dispatch}")
+        f"K={steps_per_dispatch} feed={cfg.data.feed}")
 
     mesh = make_mesh(cfg.dist.dp)
     repl = replicated_sharding(mesh)
@@ -65,13 +66,24 @@ def measure_step_time(steps_per_dispatch: int | None = None,
     b_shard = NamedSharding(mesh, batch_spec(kind, multi=True))
     state = jax.jit(lambda k: create_state(cfg, k), out_shardings=repl)(
         jax.random.key(0))
-    multi = jax.jit(make_multi_step(step_fn, steps_per_dispatch),
-                    donate_argnums=(0,), in_shardings=(repl, b_shard))
+    if cfg.data.feed == "device":
+        # Shipped cadence: corpus staged in HBM once, minibatch indices drawn
+        # inside the jit program — dispatches carry no per-step data.
+        corpus_dev = jax.device_put(corpus_array(ds), repl)
+        fed = make_device_feed_step(cfg, step_fn, kind, mesh)
+        multi = jax.jit(make_multi_step_device(fed, steps_per_dispatch),
+                        donate_argnums=(0,), in_shardings=(repl, repl))
 
-    def feed():
-        bs = np.stack(
-            [sample_batch(cfg, ds, kind) for _ in range(steps_per_dispatch)])
-        return jax.device_put(bs, b_shard)
+        def feed():
+            return corpus_dev
+    else:
+        multi = jax.jit(make_multi_step(step_fn, steps_per_dispatch),
+                        donate_argnums=(0,), in_shardings=(repl, b_shard))
+
+        def feed():
+            bs = np.stack(
+                [sample_batch(cfg, ds, kind) for _ in range(steps_per_dispatch)])
+            return jax.device_put(bs, b_shard)
 
     def sync(metrics) -> float:
         # Host pull: the only sync the axon relay cannot return early from.

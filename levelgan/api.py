@@ -288,6 +288,59 @@ def make_multi_step(step_fn, k: int):
     return multi
 
 
+# ---- device-resident data feed (DataConfig.feed == 'device') ---------------
+#
+# The corpora here are small fixed arrays (default 4096 levels: 1-16 MB), so
+# the TPU-first feed stages the WHOLE corpus into HBM once and samples
+# minibatch indices INSIDE the jit step — a training dispatch then carries no
+# per-step host->device data at all (the reference's per-step host->GPU copy,
+# SURVEY.md §3.1, eliminated outright rather than merely overlapped).
+
+_DATA_FOLD = 0x0DA7A           # fold tag separating the data index stream
+_DEVICE_CORPUS_BUDGET = 256 * 1024 * 1024   # bytes; larger corpora feed from host
+
+
+def corpus_array(ds) -> np.ndarray:
+    """The dataset's backing array (uint8 levels / f32 tracks)."""
+    return ds.levels if hasattr(ds, "levels") else ds.tracks
+
+
+def make_device_feed_step(cfg: Config, step_fn, kind: str, mesh):
+    """Wrap ``step_fn`` to draw its real batch from a device-resident corpus.
+
+    The index draw is stateless in (train.seed, state.step): a resumed run
+    consumes exactly the batches an uninterrupted run would (SURVEY.md §5.3),
+    and every device computes the same indices (replicated key), with the
+    gathered batch then sharded onto the 'data' mesh axis.
+    """
+    t = cfg.train
+    shape = ((t.n_critic, t.batch_size) if kind in ("wgan_gp", "curriculum")
+             else (t.batch_size,))
+    b_sharding = NamedSharding(mesh, batch_spec(kind))
+
+    def fed(state, corpus):
+        k = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(t.seed), _DATA_FOLD), state.step)
+        idx = jax.random.randint(k, shape, 0, corpus.shape[0])
+        batch = jax.lax.with_sharding_constraint(
+            jnp.take(corpus, idx, axis=0), b_sharding)
+        return step_fn(state, batch)
+
+    return fed
+
+
+def make_multi_step_device(fed_step, k: int):
+    """k device-fed steps in one dispatch — no scanned inputs at all."""
+    def multi(state, corpus):
+        state, ms = jax.lax.scan(lambda s, _: fed_step(s, corpus), state,
+                                 None, length=k)
+        metrics = {name: v[-1] for name, v in ms.items() if name != "gen_hist"}
+        metrics["gen_hist"] = ms["gen_hist"].sum(axis=0)
+        return state, metrics
+
+    return multi
+
+
 def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
     """Run training per ``cfg``; returns a summary dict."""
     if cfg.io.debug_nans:
@@ -327,7 +380,22 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
             raise FileNotFoundError(f"resume checkpoint not found: {cfg.io.resume}")
 
     spd = max(1, cfg.train.steps_per_dispatch)
-    if spd > 1:
+    corpus_np = corpus_array(ds)
+    feed_device = cfg.data.feed == "device"
+    if feed_device and corpus_np.nbytes > _DEVICE_CORPUS_BUDGET:
+        feed_device = False
+        if echo:
+            print(f"[levelgan] corpus ({corpus_np.nbytes >> 20} MiB) exceeds "
+                  f"device-staging budget; feeding from host")
+    fed_step = None
+    corpus_dev = None
+    if feed_device:
+        corpus_dev = jax.device_put(corpus_np, repl)
+        fed_step = make_device_feed_step(cfg, step_fn, kind, mesh)
+        jit_step = jax.jit(
+            make_multi_step_device(fed_step, spd) if spd > 1 else fed_step,
+            donate_argnums=(0,), in_shardings=(repl, repl))
+    elif spd > 1:
         mb_shard = NamedSharding(mesh, batch_spec(kind, multi=True))
         jit_step = jax.jit(make_multi_step(step_fn, spd), donate_argnums=(0,),
                            in_shardings=(repl, mb_shard))
@@ -403,7 +471,21 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
                 jax.profiler.start_trace(cfg.io.profile_dir or
                                          f"{cfg.io.out_dir}/profile")
                 profiling = True
-            if k == spd and spd > 1:
+            if feed_device:
+                if k == spd:
+                    state, metrics = jit_step(state, corpus_dev)
+                else:
+                    # final chunk < spd: single-step program over the same
+                    # device corpus (stateless draws keep the stream aligned)
+                    if jit_tail is None:
+                        jit_tail = (jit_step if spd == 1 else jax.jit(
+                            fed_step, donate_argnums=(0,),
+                            in_shardings=(repl, repl)))
+                    for j in range(k):
+                        state, metrics = jit_tail(state, corpus_dev)
+                        if j < k - 1:
+                            gen_hist_dev = gen_hist_dev + metrics.pop("gen_hist")
+            elif k == spd and spd > 1:
                 batch = np.stack([sample_batch(cfg, ds, kind, step=i + j)
                                   for j in range(k)])
                 if stop_requested:  # signal landed while stacking: sampling is

@@ -71,6 +71,14 @@ class TrainConfig:
 @dataclass(frozen=True)
 class DataConfig:
     corpus: str = "synthetic"     # 'synthetic' | path to .npz of uint8 levels
+    # Batch feed path. 'device' (default): the whole corpus is staged into
+    # HBM once and each train step samples its minibatch indices ON DEVICE
+    # (stateless in (seed, step)), so a training dispatch carries NO per-step
+    # host->device data at all — the logical end of the north star's
+    # "on-device data pipeline". 'host': per-step uint8 batches are drawn on
+    # the host and device_put (for out-of-core corpora; automatic fallback
+    # when the corpus exceeds the device-staging budget).
+    feed: str = "device"
     corpus_size: int = 4096
     corpus_seed: int = 1234
     augment: bool = True          # random D4 flip/rotate, on-device

@@ -70,8 +70,11 @@ def test_sigterm_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
 
     import levelgan.api as api
 
+    # host feed: this test injects its signal from the host sampling hook
+    # (the device-feed twin below injects from the logging hook instead)
     cfg_full = preset("toy_dcgan_16").override(
         **TINY, **{"train.steps": 8, "train.steps_per_dispatch": 1,
+                   "data.feed": "host",
                    "io.out_dir": str(tmp_path / "full")})
     res_full = train(cfg_full, echo=False)
 
@@ -95,6 +98,51 @@ def test_sigterm_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
     # pre-dispatch stop check skips launching that step (resume-safe since
     # sampling is stateless), so we stop with 2 steps applied.
     assert stopped_at == 2
+
+    cfg_resume = cfg_pre.override(**{"io.resume": "auto"})
+    res_resumed = train(cfg_resume, echo=False)
+    assert int(np.asarray(res_resumed["state"].step)) == 8
+    assert not res_resumed["preempted"]
+    for field in ("generator", "discriminator"):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            getattr(res_full["state"], field),
+            getattr(res_resumed["state"], field))
+
+
+def test_sigterm_preemption_device_feed(tmp_path, monkeypatch):
+    """Graceful preemption on the shipped device-feed path: the signal is
+    raised synchronously from the per-step logging hook (log_every=1), the
+    loop exits at the next step boundary, and resume is bit-exact."""
+    import signal
+
+    from levelgan.lio.metrics import MetricsLogger
+
+    base = dict(TINY, **{"train.steps": 8, "train.steps_per_dispatch": 1,
+                         "io.log_every": 1})
+    cfg_full = preset("toy_dcgan_16").override(
+        **base, **{"io.out_dir": str(tmp_path / "full")})
+    assert cfg_full.data.feed == "device"
+    res_full = train(cfg_full, echo=False)
+
+    cfg_pre = cfg_full.override(**{"io.out_dir": str(tmp_path / "pre2")})
+    real_log = MetricsLogger.log
+    calls = {"n": 0}
+
+    def log_and_preempt(self, *args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            signal.raise_signal(signal.SIGTERM)
+        return real_log(self, *args, **kwargs)
+
+    monkeypatch.setattr(MetricsLogger, "log", log_and_preempt)
+    res_pre = train(cfg_pre, echo=False)
+    monkeypatch.undo()
+
+    assert res_pre["preempted"]
+    # signal landed during the log after step 3 -> stop before dispatching 4
+    assert int(np.asarray(res_pre["state"].step)) == 3
 
     cfg_resume = cfg_pre.override(**{"io.resume": "auto"})
     res_resumed = train(cfg_resume, echo=False)

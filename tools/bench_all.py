@@ -26,8 +26,10 @@ def bench_preset(name: str, k: int, trials: int) -> dict:
     import jax
     from jax.sharding import NamedSharding
 
-    from levelgan.api import (batch_spec, make_dataset, make_multi_step,
-                              make_state, make_step_fn, sample_batch)
+    from levelgan.api import (batch_spec, corpus_array, make_dataset,
+                              make_device_feed_step, make_multi_step,
+                              make_multi_step_device, make_state,
+                              make_step_fn, sample_batch)
     from levelgan.config import preset
     from levelgan.dist.mesh import make_mesh, replicated_sharding
 
@@ -39,13 +41,25 @@ def bench_preset(name: str, k: int, trials: int) -> dict:
     b_shard = NamedSharding(mesh, batch_spec(kind, multi=True))
     state = jax.jit(lambda key: make_state(cfg, key), out_shardings=repl)(
         jax.random.key(0))
-    multi = jax.jit(make_multi_step(step_fn, k), donate_argnums=(0,),
-                    in_shardings=(repl, b_shard))
+    feed_device = cfg.data.feed == "device"
+    if feed_device:
+        # Shipped path: corpus staged in HBM once; each dispatch carries no
+        # per-step data — index sampling happens inside the program.
+        corpus_dev = jax.device_put(corpus_array(ds), repl)
+        fed = make_device_feed_step(cfg, step_fn, kind, mesh)
+        multi = jax.jit(make_multi_step_device(fed, k), donate_argnums=(0,),
+                        in_shardings=(repl, repl))
 
-    def feed(step0: int):
-        bs = np.stack([sample_batch(cfg, ds, kind, step=step0 + j)
-                       for j in range(k)])
-        return jax.device_put(bs, b_shard)
+        def feed(step0: int):
+            return corpus_dev
+    else:
+        multi = jax.jit(make_multi_step(step_fn, k), donate_argnums=(0,),
+                        in_shardings=(repl, b_shard))
+
+        def feed(step0: int):
+            bs = np.stack([sample_batch(cfg, ds, kind, step=step0 + j)
+                           for j in range(k)])
+            return jax.device_put(bs, b_shard)
 
     def sync(metrics) -> float:
         return float(np.asarray(metrics["d_loss"]).ravel()[-1])
@@ -82,6 +96,7 @@ def bench_preset(name: str, k: int, trials: int) -> dict:
         "batch_size": cfg.train.batch_size,
         "step_ms": round(float(pipelined * 1e3), 3),
         "step_ms_serialized": round(float(np.median(per_step) * 1e3), 3),
+        "feed": cfg.data.feed,
         "steps_per_dispatch": k,
         "compile_s": round(compile_s, 1),
     }
