@@ -45,7 +45,9 @@ def write_txt(path: str, levels: np.ndarray):
             f.write("\n")
 
 
-def write_png(path: str, levels: np.ndarray, scale: int = 8, cols: int = 8):
+def render_levels_rgb(levels: np.ndarray, scale: int = 8,
+                      cols: int = 8) -> np.ndarray:
+    """Tile a batch of uint8 level grids into one RGB image array."""
     n, h, w = levels.shape
     cols = min(cols, n)
     rows = (n + cols - 1) // cols
@@ -54,7 +56,11 @@ def write_png(path: str, levels: np.ndarray, scale: int = 8, cols: int = 8):
         r, c = divmod(i, cols)
         grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = lv
     rgb = PALETTE[np.minimum(grid, len(PALETTE) - 1)]
-    rgb = np.repeat(np.repeat(rgb, scale, 0), scale, 1)
+    return np.repeat(np.repeat(rgb, scale, 0), scale, 1)
+
+
+def write_png(path: str, levels: np.ndarray, scale: int = 8, cols: int = 8):
+    rgb = render_levels_rgb(levels, scale, cols)
     try:
         from PIL import Image
         Image.fromarray(rgb).save(path)

@@ -43,11 +43,12 @@ def rasterize_track(track: np.ndarray, size: int = 128,
     return img
 
 
-def write_track_png(path: str, tracks: np.ndarray, cols: int = 4,
-                    size: int = 128):
+def render_tracks_gray(tracks: np.ndarray, cols: int = 4,
+                       size: int = 128) -> np.ndarray:
+    """Tile a batch of tracks into one grayscale image array."""
     n = len(tracks)
     if n == 0:
-        raise ValueError("write_track_png needs at least one track")
+        raise ValueError("render_tracks_gray needs at least one track")
     cols = min(cols, n)
     rows = (n + cols - 1) // cols
     grid = np.zeros((rows * size, cols * size), np.uint8)
@@ -55,6 +56,12 @@ def write_track_png(path: str, tracks: np.ndarray, cols: int = 4,
         r, c = divmod(i, cols)
         grid[r * size:(r + 1) * size, c * size:(c + 1) * size] = \
             rasterize_track(tr, size)
+    return grid
+
+
+def write_track_png(path: str, tracks: np.ndarray, cols: int = 4,
+                    size: int = 128):
+    grid = render_tracks_gray(tracks, cols, size)
     try:
         from PIL import Image
         Image.fromarray(grid).save(path)

@@ -132,3 +132,23 @@ def test_unpack_levels_pure():
         packed = np.stack(planes, axis=-1).reshape(3, -1)
         np.testing.assert_array_equal(
             unpack_levels(packed, 16), ids.reshape(3, 16, 16))
+
+
+def test_progress_gif_cli(tmp_path):
+    """Training-progress GIF (SURVEY.md R12): one frame per checkpoint."""
+    from levelgan.cli.progress_gif import main as gif_main
+
+    cfg = preset("toy_dcgan_16").override(**TINY).override(
+        **{"train.steps": 8, "train.steps_per_dispatch": 4,
+           "io.ckpt_every": 4, "io.out_dir": str(tmp_path)})
+    train(cfg, echo=False)
+
+    out = str(tmp_path / "progress.gif")
+    rc = gif_main([str(tmp_path), "--out", out, "--n", "4", "--cols", "2"])
+    assert rc == 0
+    produced = out if os.path.exists(out) else out + ".npz"  # PIL-less fallback
+    assert os.path.exists(produced)
+    if produced.endswith(".gif"):
+        from PIL import Image
+        with Image.open(produced) as im:
+            assert getattr(im, "n_frames", 1) == 2  # ckpts at steps 4 and 8
