@@ -185,15 +185,19 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
     per_batch_bytes = batch_size * per
     nb_per_dispatch = max(1, min(n_batches_total,
                                  (64 << 20) // max(per_batch_bytes, 1)))
-    many = make_generate_many_fn(cfg, batch_size, nb_per_dispatch, pack)
-
     futures = []
     key = jax.random.key(seed)
     done = 0
     while done < n_batches_total:
         key, sub = jax.random.split(key)
+        # Exact-size tail program (one extra cached compile) instead of
+        # running the full nb_per_dispatch block for a partial remainder —
+        # the full block would compute and transfer up to
+        # (nb_per_dispatch-1)*batch_size levels that get thrown away.
+        nb = min(nb_per_dispatch, n_batches_total - done)
+        many = make_generate_many_fn(cfg, batch_size, nb, pack)
         futures.append(many(params_g, sub, cond))
-        done += nb_per_dispatch
+        done += nb
     pulled = [np.asarray(f).reshape(-1, per) for f in futures]
     flat = np.concatenate(pulled)
     if pack:
@@ -424,6 +428,7 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
     gen_hist_dev = jnp.zeros(len(ref_hist), jnp.float32)
     gen_hist = np.zeros(len(ref_hist), np.float64)
     start_step = int(jax.device_get(state.step))
+    last_log_i = start_step
     t_last = time.monotonic()
     last_metrics: dict = {}
     profiling = False
@@ -434,6 +439,13 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
     log_every = _round_cadence(cfg.io.log_every)
     ckpt_every = _round_cadence(cfg.io.ckpt_every)
     render_every = _round_cadence(cfg.io.render_every)
+
+    def _crossed(every: int, prev: int, cur: int) -> bool:
+        # Cadence = boundary crossing, not `cur % every == 0`: a resumed run
+        # whose start step is not a multiple of spd never lands exactly on a
+        # multiple of `every`, which would silently disable periodic
+        # logging/checkpointing for the whole resumed run.
+        return bool(every) and (cur // every) > (prev // every)
 
     # Graceful preemption (SURVEY.md §5.3): SIGTERM/SIGINT requests a stop;
     # the loop finishes the in-flight dispatch, checkpoints atomically, and
@@ -506,6 +518,7 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
                     state, metrics = jit_tail(state, batch)
                     if j < k - 1:
                         gen_hist_dev = gen_hist_dev + metrics.pop("gen_hist")
+            prev_i = i
             i += k
             if profiling and i >= start_step + min(10, spd) + 2 * spd + 10:
                 jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
@@ -513,25 +526,24 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
                 profiling = False
 
             gen_hist_dev = gen_hist_dev + metrics.pop("gen_hist")
-            if (log_every and i % log_every == 0) or i == cfg.train.steps:
+            if _crossed(log_every, prev_i, i) or i == cfg.train.steps:
                 metrics = jax.device_get(metrics)
                 # per-window histogram: the logged KL reflects the CURRENT
                 # generator, not a run-cumulative average that masks drift
                 gen_hist = np.asarray(gen_hist_dev, np.float64)
                 gen_hist_dev = jnp.zeros_like(gen_hist_dev)
                 now = time.monotonic()
-                denom = (log_every if log_every and i % log_every == 0
-                         else (i % log_every if log_every else i) or i)
                 kl = float(kl_divergence(gen_hist, ref_hist))
                 last_metrics = logger.log(
                     i, **metrics, kl=kl,
-                    step_ms=1e3 * (now - t_last) / denom)
+                    step_ms=1e3 * (now - t_last) / (i - last_log_i))
                 t_last = now
+                last_log_i = i
                 if tb_writer is not None:
                     for name, val in last_metrics.items():
                         if isinstance(val, (int, float)) and name != "step":
                             tb_writer.add_scalar(name, val, i)
-            if cfg.io.render_every and i % render_every == 0:
+            if _crossed(render_every, prev_i, i):
                 from levelgan.train.state import eval_generator_params
                 samples = generate(cfg, eval_generator_params(state), 16, batch_size=16,
                                    seed=i,
@@ -546,7 +558,7 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
                     from levelgan.cli.export import write_png
                     write_png(f"{cfg.io.out_dir}/levels_{i:08d}.png", samples,
                               cols=4)
-            if ckpt_every and i % ckpt_every == 0 and i < cfg.train.steps:
+            if _crossed(ckpt_every, prev_i, i) and i < cfg.train.steps:
                 save_checkpoint(ckpt_dir, state, cfg, keep=cfg.io.keep_ckpts)
     finally:
         # Runs on normal exit, preemption, AND exceptions: never leave the
@@ -562,6 +574,13 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
         print(f"[levelgan] preempted at step {i}; checkpoint saved to "
               f"{final_path} — resume with io.resume=auto")
     logger.close()
+    # A preemption (or log_every=0) can exit mid-window: the counts since the
+    # last log boundary live in gen_hist_dev and reflect the CURRENT
+    # generator; without this the returned kl would be computed from a stale
+    # (possibly all-zero) window.
+    tail_hist = np.asarray(jax.device_get(gen_hist_dev), np.float64)
+    if tail_hist.sum() > 0:
+        gen_hist = tail_hist
     return {"state": state, "checkpoint": final_path,
             "preempted": preempted,
             "metrics": last_metrics,

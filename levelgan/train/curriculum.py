@@ -34,7 +34,8 @@ from levelgan.env.sim import EnvParams, rollout
 from levelgan.lio.metrics import tile_histogram
 from levelgan.models import Critic, Generator, sample_head
 from levelgan.ops.grad_penalty import gradient_penalty
-from levelgan.train.gan import current_tau, prepare_real
+from levelgan.train.gan import current_tau
+from levelgan.train.wgan_gp import make_critic_scan
 from levelgan.train.state import (GANState, create_state, make_optimizers,
                                   update_ema)
 
@@ -82,6 +83,7 @@ def make_curriculum_step(cfg: Config):
         gp_impl = gradient_penalty
     tx_s, tx_w = make_agent_optimizers(cfg)
     ep = env_params(cfg)
+    critic_scan = make_critic_scan(cfg, gen, critic, tx_d, gp_impl)
 
     def d_apply(params_d, x, cond):
         return critic.apply({"params": params_d}, x, cond)
@@ -94,29 +96,10 @@ def make_curriculum_step(cfg: Config):
         tau = current_tau(cfg, state.step)
 
         # ---- 1. critic updates on real corpus levels (realism term) --------
-        def critic_iter(carry, xs):
-            params_d, opt_d = carry
-            ids, k = xs
-            k_aug, k_z, k_s, k_eps = jax.random.split(k, 4)
-            real, cond = prepare_real(cfg, k_aug, ids)
-            z = jax.random.normal(k_z, (bsz, m.latent_dim), jnp.float32)
-            logits = gen.apply({"params": state.generator}, z, cond)
-            fake = jax.lax.stop_gradient(sample_head(k_s, logits, m.head, tau))
-
-            def d_loss_fn(pd):
-                wdist = d_apply(pd, real, cond).mean() - d_apply(pd, fake, cond).mean()
-                gp = gp_impl(d_apply, pd, k_eps, real, fake, cond)
-                return -wdist + t.gp_lambda * gp, (gp, wdist)
-
-            (d_loss, (gp, wdist)), grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(params_d)
-            updates, opt_d = tx_d.update(grads, opt_d, params_d)
-            return ((optax.apply_updates(params_d, updates), opt_d),
-                    {"d_loss": d_loss, "gp": gp, "wdist": wdist})
-
-        (params_d, opt_d), it = jax.lax.scan(
-            critic_iter, (state.discriminator, state.opt_d),
-            (batch_ids, iter_keys))
+        # (shared with the plain WGAN-GP step: train/wgan_gp.make_critic_scan)
+        params_d, opt_d, it = critic_scan(
+            state.generator, state.discriminator, state.opt_d,
+            batch_ids, iter_keys, state.step)
 
         # ---- 2. G samples a batch of discrete levels -----------------------
         # Condition features are D4-invariant; like the WGAN-GP step, take

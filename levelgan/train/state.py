@@ -35,15 +35,21 @@ class GANState:
 def make_optimizers(cfg: Config):
     t = cfg.train
 
-    def lr(base):
+    def lr(base, updates_per_step=1):
         if t.lr_schedule == "cosine":
-            return optax.cosine_decay_schedule(base, t.steps, alpha=0.01)
+            # optax schedules count OPTIMIZER updates, not train steps: the
+            # critic updates n_critic times per step under wgan_gp/curriculum,
+            # so its decay horizon must be scaled or it would bottom out
+            # after steps/n_critic train steps.
+            return optax.cosine_decay_schedule(
+                base, t.steps * updates_per_step, alpha=0.01)
         if t.lr_schedule == "none":
             return base
         raise ValueError(f"unknown lr_schedule '{t.lr_schedule}'")
 
+    d_updates = t.n_critic if t.loss in ("wgan_gp", "curriculum") else 1
     tx_g = optax.adam(lr(t.lr_g), b1=t.beta1, b2=t.beta2)
-    tx_d = optax.adam(lr(t.lr_d), b1=t.beta1, b2=t.beta2)
+    tx_d = optax.adam(lr(t.lr_d, d_updates), b1=t.beta1, b2=t.beta2)
     return tx_g, tx_d
 
 

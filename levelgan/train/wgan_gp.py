@@ -24,6 +24,53 @@ from levelgan.train.gan import current_tau, prepare_real
 from levelgan.train.state import GANState, make_optimizers, update_ema
 
 
+def make_critic_scan(cfg: Config, gen, critic, tx_d, gp_impl):
+    """Shared n_critic WGAN-GP critic schedule as a ``lax.scan``.
+
+    Used by both the plain WGAN-GP step (configs 2-4) and the curriculum
+    step's realism term (config 5) so the GP/critic-loss logic exists once.
+    Returns ``run(params_g, params_d, opt_d, batch_ids, iter_keys, step)
+    -> (params_d, opt_d, per_iter_metrics)``.
+    """
+    m, t = cfg.model, cfg.train
+
+    def d_apply(params_d, x, cond):
+        return critic.apply({"params": params_d}, x, cond)
+
+    def run(params_g, params_d, opt_d, batch_ids, iter_keys, step):
+        bsz = batch_ids.shape[1]
+        tau = current_tau(cfg, step)
+
+        def critic_iter(carry, xs):
+            params_d, opt_d = carry
+            ids, k = xs
+            k_aug, k_z, k_s, k_eps = jax.random.split(k, 4)
+            real, cond = prepare_real(cfg, k_aug, ids)
+            z = jax.random.normal(k_z, (bsz, m.latent_dim), jnp.float32)
+            logits = gen.apply({"params": params_g}, z, cond)
+            fake = jax.lax.stop_gradient(sample_head(k_s, logits, m.head, tau))
+
+            def d_loss_fn(pd):
+                d_real = d_apply(pd, real, cond)
+                d_fake = d_apply(pd, fake, cond)
+                gp = gp_impl(d_apply, pd, k_eps, real, fake, cond)
+                wdist = d_real.mean() - d_fake.mean()
+                loss = -wdist + t.gp_lambda * gp
+                return loss, (gp, wdist)
+
+            (d_loss, (gp, wdist)), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(params_d)
+            updates, opt_d = tx_d.update(grads, opt_d, params_d)
+            params_d = optax.apply_updates(params_d, updates)
+            return (params_d, opt_d), {"d_loss": d_loss, "gp": gp, "wdist": wdist}
+
+        (params_d, opt_d), it = jax.lax.scan(
+            critic_iter, (params_d, opt_d), (batch_ids, iter_keys))
+        return params_d, opt_d, it
+
+    return run
+
+
 def make_wgan_gp_step(cfg: Config):
     """Build the jit-able WGAN-GP step. Batch: uint8 ids [n_critic, B, H, W]."""
     m, t = cfg.model, cfg.train
@@ -41,40 +88,20 @@ def make_wgan_gp_step(cfg: Config):
         logits = gen.apply({"params": params_g}, z, cond)
         return sample_head(key, logits, m.head, current_tau(cfg, step))
 
+    critic_scan = make_critic_scan(cfg, gen, critic, tx_d, gp_impl)
+
     def step_fn(state: GANState, batch_ids: jax.Array):
         assert batch_ids.ndim == 4, "wgan_gp expects [n_critic, B, H, W]"
-        n_critic, bsz = batch_ids.shape[0], batch_ids.shape[1]
+        bsz = batch_ids.shape[1]
         base = jax.random.fold_in(state.rng, state.step)
-        iter_keys = jax.random.split(jax.random.fold_in(base, 0), n_critic)
+        iter_keys = jax.random.split(
+            jax.random.fold_in(base, 0), batch_ids.shape[0])
         k_zg, k_sg = jax.random.split(jax.random.fold_in(base, 1))
 
         # ---- critic updates: lax.scan over n_critic minibatches ------------
-        def critic_iter(carry, xs):
-            params_d, opt_d = carry
-            ids, k = xs
-            k_aug, k_z, k_s, k_eps = jax.random.split(k, 4)
-            real, cond = prepare_real(cfg, k_aug, ids)
-            z = jax.random.normal(k_z, (bsz, m.latent_dim), jnp.float32)
-            fake = jax.lax.stop_gradient(
-                g_sample(state.generator, k_s, z, cond, state.step))
-
-            def d_loss_fn(pd):
-                d_real = d_apply(pd, real, cond)
-                d_fake = d_apply(pd, fake, cond)
-                gp = gp_impl(d_apply, pd, k_eps, real, fake, cond)
-                wdist = d_real.mean() - d_fake.mean()
-                loss = -wdist + t.gp_lambda * gp
-                return loss, (gp, wdist)
-
-            (d_loss, (gp, wdist)), grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(params_d)
-            updates, opt_d = tx_d.update(grads, opt_d, params_d)
-            params_d = optax.apply_updates(params_d, updates)
-            return (params_d, opt_d), {"d_loss": d_loss, "gp": gp, "wdist": wdist}
-
-        (params_d, opt_d), it = jax.lax.scan(
-            critic_iter, (state.discriminator, state.opt_d),
-            (batch_ids, iter_keys))
+        params_d, opt_d, it = critic_scan(
+            state.generator, state.discriminator, state.opt_d,
+            batch_ids, iter_keys, state.step)
 
         # ---- generator update ----------------------------------------------
         # Condition features are D4-invariant, so take them straight from the

@@ -152,3 +152,27 @@ def test_progress_gif_cli(tmp_path):
         from PIL import Image
         with Image.open(produced) as im:
             assert getattr(im, "n_frames", 1) == 2  # ckpts at steps 4 and 8
+
+
+def test_resume_cadence_fires_off_grid(tmp_path):
+    """Periodic ckpt/log must fire on resumed runs whose start step is not a
+    multiple of steps_per_dispatch (cadence = boundary crossing, not i%every)."""
+    base = dict(TINY)
+    base.pop("io.ckpt_every")
+    cfg = preset("toy_dcgan_16").override(**base).override(
+        **{"train.steps": 12, "train.steps_per_dispatch": 10,
+           "io.ckpt_every": 10, "io.keep_ckpts": 0, "io.log_every": 10,
+           "io.out_dir": str(tmp_path)})
+    train(cfg, echo=False)  # tail chunk leaves final ckpt at step 12
+
+    cfg2 = cfg.override(**{"train.steps": 42, "io.resume": "auto"})
+    train(cfg2, echo=False)
+    # resumed i takes 22, 32, 42: 10-boundaries crossed each dispatch
+    have = sorted(os.listdir(tmp_path / "ckpt"))
+    assert "step_00000022" in have and "step_00000032" in have, have
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    steps_logged = [l["step"] for l in lines]
+    assert 22 in steps_logged and 32 in steps_logged and 42 in steps_logged
+    # step_ms denominator is steps-this-session, not absolute step
+    final = [l for l in lines if l["step"] == 42][-1]
+    assert final["step_ms"] > 0

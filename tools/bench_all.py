@@ -22,7 +22,8 @@ PRESETS = ("toy_dcgan_16", "wgan_gp_32", "gumbel_64", "conditional_32",
            "curriculum_16", "racetrack_32", "race_curriculum_32")
 
 
-def bench_preset(name: str, k: int, trials: int) -> dict:
+def bench_preset(name: str, k: int, trials: int,
+                 overrides: dict | None = None) -> dict:
     import jax
     from jax.sharding import NamedSharding
 
@@ -34,6 +35,8 @@ def bench_preset(name: str, k: int, trials: int) -> dict:
     from levelgan.dist.mesh import make_mesh, replicated_sharding
 
     cfg = preset(name)
+    if overrides:
+        cfg = cfg.override(**overrides)
     mesh = make_mesh(cfg.dist.dp)
     repl = replicated_sharding(mesh)
     ds = make_dataset(cfg)
@@ -108,12 +111,20 @@ def main(argv=None):
     ap.add_argument("--trials", type=int, default=5)
     ap.add_argument("--out", default=None)
     ap.add_argument("--presets", default=",".join(PRESETS))
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="dotted config override applied to every preset, "
+                         "e.g. --set model.use_pallas=true")
     args = ap.parse_args(argv)
+
+    from levelgan.cli.train import parse_overrides
+    overrides = parse_overrides(args.set)
 
     import jax
     rows = []
     for name in args.presets.split(","):
-        row = bench_preset(name, args.k, args.trials)
+        row = bench_preset(name, args.k, args.trials, overrides)
+        if overrides:
+            row["overrides"] = overrides
         row["backend"] = jax.default_backend()
         print(json.dumps(row), flush=True)
         rows.append(row)
