@@ -114,3 +114,28 @@ def test_gan_learns_toy_distribution(tiny_gan_cfg):
         kls.append(float(kl_divergence(np.asarray(m["gen_hist"]), ref)))
         assert np.isfinite(float(m["d_loss"]))
     assert np.mean(kls[-10:]) < 0.7 * np.mean(kls[:10])
+
+
+def test_cosine_lr_horizon_scales_with_n_critic():
+    """optax schedules count optimizer updates: under wgan_gp the critic
+    updates n_critic times per train step, so its cosine horizon must be
+    steps*n_critic or the LR bottoms out after steps/n_critic train steps."""
+    from levelgan.train.state import make_optimizers
+
+    cfg = preset("wgan_gp_32").override(**{
+        "train.steps": 4, "train.n_critic": 2, "train.lr_schedule": "cosine",
+        "train.lr_d": 1e-3})
+    _, tx_d = make_optimizers(cfg)
+
+    params = {"w": jnp.ones((4,))}
+    opt = tx_d.init(params)
+    norms = []
+    for _ in range(cfg.train.steps * cfg.train.n_critic):
+        updates, opt = tx_d.update({"w": jnp.ones((4,))}, opt, params)
+        norms.append(float(jnp.abs(updates["w"]).max()))
+    # halfway through the 8 critic updates the cosine should be ~0.5 of
+    # base, not already collapsed to the 0.01 floor (the old steps-only
+    # horizon reached the floor at update 4 = train step 2 of 4)
+    assert norms[4] > 0.25 * norms[0], norms
+    # and by the end it HAS decayed to near the floor
+    assert norms[-1] < 0.15 * norms[0], norms
