@@ -31,7 +31,10 @@ PALETTE = np.array([
 def load_generator(ckpt: str):
     cfg = Config.from_dict(load_manifest(ckpt)["config"])
     from levelgan.api import make_state
-    example = jax.device_get(make_state(cfg, jax.random.key(0)))
+    # jit the example-state init: eager init is hundreds of small dispatches
+    # (minutes through the dev relay at ~28ms each); jitted it is one
+    example = jax.device_get(
+        jax.jit(lambda k: make_state(cfg, k))(jax.random.key(0)))
     state, cfg = load_checkpoint(ckpt, example)
     return cfg, state
 

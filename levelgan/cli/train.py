@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--resume", default=None,
                     help="'auto' or a checkpoint directory")
     ap.add_argument("--out", default=None, help="shortcut for io.out_dir")
+    ap.add_argument("--print-config", action="store_true",
+                    help="print the fully-resolved config as JSON and exit "
+                         "(pipe to a file, edit, re-run with --config)")
     return ap
 
 
@@ -47,6 +50,9 @@ def main(argv=None):
         overrides["io.out_dir"] = args.out
     cfg = load_config(args.config, args.preset or
                       (None if args.config else "toy_dcgan_16"), overrides)
+    if args.print_config:
+        print(cfg.to_json())
+        return 0
     result = train(cfg)
     print(f"[levelgan] done: checkpoint={result['checkpoint']} "
           f"kl={result['kl']:.5f}")

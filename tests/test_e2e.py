@@ -176,3 +176,17 @@ def test_resume_cadence_fires_off_grid(tmp_path):
     # step_ms denominator is steps-this-session, not absolute step
     final = [l for l in lines if l["step"] == 42][-1]
     assert final["step_ms"] > 0
+
+
+def test_print_config_round_trips_via_config_file(tmp_path, capsys):
+    rc = train_main(["--preset", "wgan_gp_32", "--set", "train.steps=7",
+                     "--print-config"])
+    assert rc == 0
+    dumped = capsys.readouterr().out
+    path = tmp_path / "cfg.json"
+    path.write_text(dumped)
+    rc = train_main(["--config", str(path), "--print-config"])
+    assert rc == 0
+    again = json.loads(capsys.readouterr().out)
+    assert again == json.loads(dumped)
+    assert again["train"]["steps"] == 7

@@ -58,6 +58,29 @@ def test_torch_ckpt_exporter(tmp_path):
     leaf = loaded["generator"]["seed"]["kernel"]
     assert isinstance(leaf, torch.Tensor) and torch.isfinite(leaf).all()
 
+    # ---- round trip: import the .pt back into a levelgan checkpoint ------
+    from levelgan.lio.checkpoint import load_checkpoint
+    from tools.import_torch_ckpt import convert as import_convert
+
+    imported = import_convert(out, str(tmp_path / "imported"))
+    from levelgan.api import make_state
+    example = jax.device_get(make_state(cfg, jax.random.key(0)))
+    orig, _ = load_checkpoint(res["checkpoint"], example)
+    rt, _ = load_checkpoint(imported, example)
+    assert int(np.asarray(rt.step)) == 2
+    for field in ("generator", "discriminator", "opt_g", "opt_d"):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            getattr(orig, field), getattr(rt, field))
+
+    # the imported checkpoint is trainable: resume continues from step 2
+    cfg_resume = cfg.override(**{
+        "train.steps": 4, "io.out_dir": str(tmp_path / "imported_run"),
+        "io.resume": imported})
+    res2 = train(cfg_resume, echo=False)
+    assert int(np.asarray(res2["state"].step)) == 4
+
 
 def test_sigterm_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
     """SIGTERM mid-run -> finish dispatch, checkpoint, return; resume is
