@@ -28,9 +28,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -42,66 +39,25 @@ def log(msg):
 
 def measure_step_time(steps_per_dispatch: int | None = None,
                       trials: int = 7) -> float:
-    import jax
-    from jax.sharding import NamedSharding
+    """Headline = the per-preset sweep's harness on the toy preset.
 
-    from levelgan.api import (batch_spec, corpus_array, make_device_feed_step,
-                              make_multi_step, make_multi_step_device,
-                              make_step_fn, sample_batch)
+    ONE benchmark code path: tools/bench_all.bench_preset (warmup dispatch,
+    serialized trials, then the pipelined back-to-back block with a single
+    hard host sync — exactly api.train's cadence).  bench.py only picks the
+    preset and formats the one-line JSON."""
+    import jax
+
     from levelgan.config import preset
-    from levelgan.data.dataset import LevelDataset
-    from levelgan.dist.mesh import make_mesh, replicated_sharding
-    from levelgan.train.state import create_state
+    from tools.bench_all import bench_preset
 
     cfg = preset("toy_dcgan_16")
     if steps_per_dispatch is None:
         steps_per_dispatch = max(1, cfg.train.steps_per_dispatch)
     log(f"backend={jax.default_backend()} devices={jax.devices()} "
         f"K={steps_per_dispatch} feed={cfg.data.feed}")
-
-    mesh = make_mesh(cfg.dist.dp)
-    repl = replicated_sharding(mesh)
-    ds = LevelDataset.from_config(cfg.data, cfg.model, seed=cfg.train.seed)
-    step_fn, kind = make_step_fn(cfg)
-    b_shard = NamedSharding(mesh, batch_spec(kind, multi=True))
-    state = jax.jit(lambda k: create_state(cfg, k), out_shardings=repl)(
-        jax.random.key(0))
-    if cfg.data.feed == "device":
-        # Shipped cadence: corpus staged in HBM once, minibatch indices drawn
-        # inside the jit program — dispatches carry no per-step data.
-        corpus_dev = jax.device_put(corpus_array(ds), repl)
-        fed = make_device_feed_step(cfg, step_fn, kind, mesh)
-        multi = jax.jit(make_multi_step_device(fed, steps_per_dispatch),
-                        donate_argnums=(0,), in_shardings=(repl, repl))
-
-        def feed():
-            return corpus_dev
-    else:
-        multi = jax.jit(make_multi_step(step_fn, steps_per_dispatch),
-                        donate_argnums=(0,), in_shardings=(repl, b_shard))
-
-        def feed():
-            bs = np.stack(
-                [sample_batch(cfg, ds, kind) for _ in range(steps_per_dispatch)])
-            return jax.device_put(bs, b_shard)
-
-    def sync(metrics) -> float:
-        # Host pull: the only sync the axon relay cannot return early from.
-        return float(np.asarray(metrics["d_loss"]).ravel()[-1])
-
-    state, metrics = multi(state, feed())  # compile + warmup
-    sync(metrics)
-    log("warmup done, timing...")
-
-    # Production cadence: api.train syncs only at log points, so async
-    # dispatch overlaps the host batch feed with device compute.  Time
-    # `trials` dispatch blocks back-to-back with ONE hard sync at the end.
-    t0 = time.perf_counter()
-    for _ in range(trials):
-        state, metrics = multi(state, feed())  # H2D feed inside timed region
-    sync(metrics)
-    return float((time.perf_counter() - t0)
-                 / (trials * steps_per_dispatch) * 1e3)
+    row = bench_preset("toy_dcgan_16", steps_per_dispatch, trials)
+    log(f"serialized worst case: {row['step_ms_serialized']:.3f} ms")
+    return float(row["step_ms"])
 
 
 def main():

@@ -76,12 +76,17 @@ def host_preprocess(batch_ids: np.ndarray, n_tiles: int,
     return out
 
 
-def measure(steps: int = 60, batch: int = 64, level: int = 16,
-            n_tiles: int = 8, latent: int = 64, warmup: int = 10,
-            seed: int = 0) -> dict:
+def _run_training(steps: int, batch: int, level: int, n_tiles: int,
+                  latent: int, seed: int, corpus: np.ndarray | None,
+                  warmup: int = 0):
+    """The ONE config-1 training loop (shared by measure/train_reference so
+    the timed baseline and the statistical-gate runs cannot drift apart).
+
+    Returns (g, per_step_times, final_d_loss, final_g_loss)."""
     torch.manual_seed(seed)
     rng = np.random.default_rng(seed)
-    corpus = synthetic_corpus(4096, level, seed=1234)
+    if corpus is None:
+        corpus = synthetic_corpus(4096, level, seed=1234)
 
     g, d = RefGenerator(latent, 64, n_tiles), RefDiscriminator(64, n_tiles)
     opt_g = torch.optim.Adam(g.parameters(), lr=2e-4, betas=(0.5, 0.999))
@@ -89,7 +94,7 @@ def measure(steps: int = 60, batch: int = 64, level: int = 16,
     bce = nn.BCEWithLogitsLoss()
 
     times = []
-    for i in range(warmup + steps):
+    for _ in range(warmup + steps):
         t0 = time.perf_counter()
         idx = rng.integers(0, len(corpus), batch)
         real = torch.from_numpy(host_preprocess(corpus[idx], n_tiles, rng))
@@ -108,65 +113,60 @@ def measure(steps: int = 60, batch: int = 64, level: int = 16,
         g_loss.backward()
         opt_g.step()
         times.append(time.perf_counter() - t0)
+    return g, times[warmup:], float(d_loss), float(g_loss)
 
-    med_ms = float(np.median(times[warmup:]) * 1e3)
+
+def measure(steps: int = 60, batch: int = 64, level: int = 16,
+            n_tiles: int = 8, latent: int = 64, warmup: int = 10,
+            seed: int = 0) -> dict:
+    _, times, d_loss, g_loss = _run_training(
+        steps, batch, level, n_tiles, latent, seed, None, warmup=warmup)
+    med_ms = float(np.median(times) * 1e3)
     return {
         "metric": "toy_dcgan16_train_step_time",
         "value": med_ms, "unit": "ms",
         "hardware": "cpu (torch eager, host-numpy preprocessing)",
         "steps_measured": steps, "batch": batch, "level_size": level,
         "torch": torch.__version__, "threads": torch.get_num_threads(),
-        "final_d_loss": float(d_loss), "final_g_loss": float(g_loss),
+        "final_d_loss": d_loss, "final_g_loss": g_loss,
     }
 
 
 def train_reference(steps: int = 100, batch: int = 64, level: int = 16,
-                    n_tiles: int = 8, latent: int = 64,
-                    seed: int = 0) -> RefGenerator:
+                    n_tiles: int = 8, latent: int = 64, seed: int = 0,
+                    corpus: np.ndarray | None = None) -> RefGenerator:
     """Train the reference configuration (no timing) and return the G net.
 
-    Same loop as ``measure`` — the reference default run (config 1) — used
-    by tools/ref_band.py to establish the reference-run tile-distribution
-    band the BASELINE 'statistically identical' gate compares against."""
-    torch.manual_seed(seed)
-    rng = np.random.default_rng(seed)
-    corpus = synthetic_corpus(4096, level, seed=1234)
-
-    g, d = RefGenerator(latent, 64, n_tiles), RefDiscriminator(64, n_tiles)
-    opt_g = torch.optim.Adam(g.parameters(), lr=2e-4, betas=(0.5, 0.999))
-    opt_d = torch.optim.Adam(d.parameters(), lr=2e-4, betas=(0.5, 0.999))
-    bce = nn.BCEWithLogitsLoss()
-
-    for _ in range(steps):
-        idx = rng.integers(0, len(corpus), batch)
-        real = torch.from_numpy(host_preprocess(corpus[idx], n_tiles, rng))
-
-        z = torch.randn(batch, latent)
-        fake = g(z).detach()
-        opt_d.zero_grad()
-        d_loss = bce(d(real), torch.full((batch,), 0.9)) + \
-            bce(d(fake), torch.zeros(batch))
-        d_loss.backward()
-        opt_d.step()
-
-        z = torch.randn(batch, latent)
-        opt_g.zero_grad()
-        g_loss = bce(d(g(z)), torch.ones(batch))
-        g_loss.backward()
-        opt_g.step()
+    Same loop as ``measure`` (literally — shared ``_run_training``); used by
+    tools/ref_band.py to establish the reference-run tile-distribution band
+    the BASELINE 'statistically identical' gate compares against.  Pass
+    ``corpus`` to train on the exact corpus the gate's target histogram is
+    built from."""
+    g, _, _, _ = _run_training(steps, batch, level, n_tiles, latent, seed,
+                               corpus)
     return g
 
 
 @torch.no_grad()
 def sample_levels(g: RefGenerator, n: int, latent: int = 64,
                   batch: int = 256, seed: int = 0) -> np.ndarray:
-    """Sample ``n`` uint8 tile-id levels from a trained reference G."""
+    """Sample ``n`` uint8 tile-id levels from a trained reference G.
+
+    ``g.eval()`` matters: in train mode the BatchNorm layers would
+    normalize by each sampling batch's own statistics, making the sampled
+    tile distribution depend on the sampling batch size/composition —
+    eval mode uses the running stats, so the distribution is a property
+    of the trained model only."""
+    was_training = g.training
+    g.eval()
     torch.manual_seed(seed + 1)
     out = []
     for i in range(0, n, batch):
         z = torch.randn(min(batch, n - i), latent)
         probs = g(z)                       # [b, n_tiles, H, W] softmax
         out.append(probs.argmax(dim=1).to(torch.uint8).numpy())
+    if was_training:
+        g.train()
     return np.concatenate(out)
 
 

@@ -116,6 +116,9 @@ def main(argv=None):
                          "e.g. --set model.use_pallas=true")
     args = ap.parse_args(argv)
 
+    if args.trials < 1 or args.k < 1:
+        raise SystemExit("--trials and --k must be >= 1")
+
     from levelgan.cli.train import parse_overrides
     overrides = parse_overrides(args.set)
 

@@ -40,10 +40,9 @@ def convert(ckpt_dir: str, out_path: str) -> dict:
     def to_torch(node):
         if isinstance(node, dict):
             return {k: to_torch(v) for k, v in node.items()}
-        arr = np.asarray(node)
-        if arr.dtype == np.dtype("uint32"):   # rng key data
-            arr = arr.astype(np.int64)
-        return torch.from_numpy(np.ascontiguousarray(arr))
+        # (the state's rng key is deliberately NOT exported — the importer
+        # re-seeds from config — so no uint32 key data reaches this point)
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(node)))
 
     payload = {
         "generator": to_torch(nested.get("generator", {})),
