@@ -10,6 +10,7 @@ step program, sharded over the data mesh.
 from __future__ import annotations
 
 import functools
+import os
 import signal
 import threading
 import time
@@ -22,7 +23,7 @@ from jax.sharding import PartitionSpec as P, NamedSharding
 from levelgan.config import Config
 from levelgan.data.dataset import LevelDataset
 from levelgan.dist.mesh import make_mesh, replicated_sharding
-from levelgan.lio.checkpoint import (latest_checkpoint, load_checkpoint,
+from levelgan.lio.checkpoint import (load_checkpoint,
                                      save_checkpoint)
 from levelgan.lio.metrics import MetricsLogger, kl_divergence
 from levelgan.train.gan import make_gan_step
@@ -156,13 +157,20 @@ def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
 def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
              batch_size: int = 1024, cond=None,
              pack: bool | None = None) -> np.ndarray:
-    """Generate ``n`` levels as host uint8 [n, H, W].
+    """Generate ``n`` levels.
 
-    ``pack=None`` auto-enables on-device bit-plane packing when the tile
-    vocabulary fits under 8 bits (see make_generate_fn).
+    Tile family: host uint8 [n, H, W]; ``pack=None`` auto-enables on-device
+    bit-plane packing for the D2H transfer when the tile vocabulary fits
+    under 8 bits AND H*W is a multiple of 8 (the pack groups 8 tiles per
+    byte plane); the result is unpacked on host either way.
+    Track family: float32 [n, T, 2] (curvature, width) sequences — packing
+    does not apply (``pack=True`` is rejected).
     """
     batch_size = min(batch_size, n)
     if cfg.model.family == "track":
+        if pack:
+            raise ValueError("pack=True is tile-family only; track export "
+                             "returns float32 [n, T, 2] sequences")
         gen_fn = make_generate_fn(cfg, batch_size)
         if cond is not None:
             cond = jnp.broadcast_to(jnp.asarray(cond, jnp.float32),
@@ -173,8 +181,13 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
             key, sub = jax.random.split(key)
             futures.append(gen_fn(params_g, sub, cond))
         return np.concatenate([np.asarray(f) for f in futures])[:n]
+    hw_mult8 = (cfg.model.level_size ** 2) % 8 == 0
     if pack is None:
-        pack = tile_bits(cfg.model.n_tiles) < 8
+        pack = tile_bits(cfg.model.n_tiles) < 8 and hw_mult8
+    elif pack and not hw_mult8:
+        raise ValueError(
+            f"bit-plane packing needs H*W % 8 == 0, got level_size="
+            f"{cfg.model.level_size} (H*W={cfg.model.level_size ** 2})")
     if cond is not None:
         cond = jnp.broadcast_to(jnp.asarray(cond, jnp.float32),
                                 (batch_size, cfg.model.cond_dim))
@@ -372,16 +385,30 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
             jax.random.key(cfg.train.seed))
 
     ckpt_dir = f"{cfg.io.out_dir}/ckpt"
-    if cfg.io.resume:
-        path = (latest_checkpoint(ckpt_dir) if cfg.io.resume == "auto"
-                else cfg.io.resume)
-        if path:
-            state, _ = load_checkpoint(path, jax.device_get(state))
-            state = jax.device_put(state, repl)
+    if cfg.io.resume == "auto":
+        # Walk newest -> oldest past unreadable checkpoints (e.g. truncated
+        # by a host crash) so auto-resume degrades to the last GOOD one
+        # instead of dying on the corrupt latest.
+        from levelgan.lio.checkpoint import all_checkpoints
+        loaded = None
+        for path in reversed(all_checkpoints(ckpt_dir)):
+            try:
+                loaded = load_checkpoint(path, jax.device_get(state))[0]
+                break
+            except Exception as e:  # corrupt/partial: try the next older
+                print(f"[levelgan] skipping unreadable checkpoint {path}: {e}")
+        if loaded is not None:
+            state = jax.device_put(loaded, repl)
             if echo:
                 print(f"[levelgan] resumed from {path}")
-        elif cfg.io.resume != "auto":
-            raise FileNotFoundError(f"resume checkpoint not found: {cfg.io.resume}")
+    elif cfg.io.resume:
+        if not os.path.isdir(cfg.io.resume):
+            raise FileNotFoundError(
+                f"resume checkpoint not found: {cfg.io.resume}")
+        state, _ = load_checkpoint(cfg.io.resume, jax.device_get(state))
+        state = jax.device_put(state, repl)
+        if echo:
+            print(f"[levelgan] resumed from {cfg.io.resume}")
 
     spd = max(1, cfg.train.steps_per_dispatch)
     corpus_np = corpus_array(ds)
@@ -404,7 +431,6 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
         jit_step = jax.jit(make_multi_step(step_fn, spd), donate_argnums=(0,),
                            in_shardings=(repl, mb_shard))
     else:
-        mb_shard = b_shard
         jit_step = jax.jit(step_fn, donate_argnums=(0,),
                            in_shardings=(repl, b_shard))
 
@@ -433,18 +459,18 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
     last_metrics: dict = {}
     profiling = False
 
-    def _round_cadence(every: int) -> int:
-        return max(spd, (every // spd) * spd) if every else 0
-
-    log_every = _round_cadence(cfg.io.log_every)
-    ckpt_every = _round_cadence(cfg.io.ckpt_every)
-    render_every = _round_cadence(cfg.io.render_every)
+    log_every = cfg.io.log_every
+    ckpt_every = cfg.io.ckpt_every
+    render_every = cfg.io.render_every
 
     def _crossed(every: int, prev: int, cur: int) -> bool:
         # Cadence = boundary crossing, not `cur % every == 0`: a resumed run
         # whose start step is not a multiple of spd never lands exactly on a
         # multiple of `every`, which would silently disable periodic
-        # logging/checkpointing for the whole resumed run.
+        # logging/checkpointing for the whole resumed run.  Crossing also
+        # makes cadences that are not multiples of steps_per_dispatch behave
+        # as requested (fire at the first dispatch past each boundary)
+        # instead of being silently floored to a multiple of spd.
         return bool(every) and (cur // every) > (prev // every)
 
     # Graceful preemption (SURVEY.md §5.3): SIGTERM/SIGINT requests a stop;
@@ -562,18 +588,22 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
                 save_checkpoint(ckpt_dir, state, cfg, keep=cfg.io.keep_ckpts)
     finally:
         # Runs on normal exit, preemption, AND exceptions: never leave the
-        # process with our signal handlers or an unflushed profiler trace.
+        # process with our signal handlers, an unflushed profiler trace, or
+        # buffered metrics (SummaryWriter flushes on a 120s timer — a short
+        # run or an exception would otherwise drop its scalars).
         if profiling:
             jax.profiler.stop_trace()
             profiling = False
         _restore_handlers()
+        if tb_writer is not None:
+            tb_writer.close()
+        logger.close()
 
     preempted = stop_requested and i < cfg.train.steps
     final_path = save_checkpoint(ckpt_dir, state, cfg, keep=cfg.io.keep_ckpts)
     if preempted and echo:
         print(f"[levelgan] preempted at step {i}; checkpoint saved to "
               f"{final_path} — resume with io.resume=auto")
-    logger.close()
     # A preemption (or log_every=0) can exit mid-window: the counts since the
     # last log boundary live in gen_hist_dev and reflect the CURRENT
     # generator; without this the returned kl would be computed from a stale

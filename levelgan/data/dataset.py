@@ -49,8 +49,16 @@ def _carve_level(rng: np.random.Generator, size: int, wall_density: float,
     # Goal: the carved cell farthest (L1) from the start; guaranteed reachable.
     dists = [abs(p[0] - start_pos[0]) + abs(p[1] - start_pos[1]) for p in carved]
     goal_pos = carved[int(np.argmax(dists))]
-    if goal_pos == start_pos and len(carved) > 1:
-        goal_pos = carved[-1]
+    if goal_pos == start_pos:
+        if len(carved) > 1:
+            goal_pos = carved[-1]
+        else:
+            # Degenerate 1-cell carve (tiny sizes): force a distinct GOAL
+            # cell so the "exactly one START and one GOAL" invariant the
+            # env/features rely on still holds.
+            r0, c0 = start_pos
+            goal_pos = (r0, c0 + 1) if c0 + 1 < size else (r0, c0 - 1)
+            grid[goal_pos] = EMPTY
 
     # Decorations on floor cells (never on start/goal).
     floor = [p for p in carved if p != start_pos and p != goal_pos]
@@ -128,7 +136,21 @@ class LevelDataset:
             levels = np.load(data_cfg.corpus)
             if isinstance(levels, np.lib.npyio.NpzFile):
                 levels = levels["levels"]
+            if levels.size and int(levels.max()) > 255 or \
+                    np.issubdtype(levels.dtype, np.floating):
+                raise ValueError(
+                    f"corpus {data_cfg.corpus} has dtype {levels.dtype} / "
+                    f"max {levels.max()}: tile ids must be integer uint8 "
+                    "(astype would silently wrap out-of-range values)")
             levels = levels.astype(np.uint8)
+        # A corpus tile id >= n_tiles would make the KL reference histogram
+        # longer than every per-step gen_hist metric (broadcast error deep
+        # in api.train) or silently one-hot to all-zero rows — fail loudly.
+        hi = int(levels.max()) if levels.size else 0
+        if hi >= model_cfg.n_tiles:
+            raise ValueError(
+                f"corpus contains tile id {hi} but model.n_tiles="
+                f"{model_cfg.n_tiles}; raise n_tiles or fix the corpus")
         return cls(levels, seed=seed)
 
     def sample(self, batch_size: int) -> np.ndarray:

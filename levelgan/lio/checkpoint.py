@@ -106,7 +106,16 @@ def save_checkpoint(ckpt_dir: str, state, cfg: Config,
     os.makedirs(tmp)
 
     flat = state_to_flat(jax.device_get(state))
-    np.savez(os.path.join(tmp, "arrays.npz"), **flat)
+    arrays_path = os.path.join(tmp, "arrays.npz")
+    np.savez(arrays_path, **flat)
+    # fsync the array payload too (manifest alone was fsynced before): a
+    # host crash between rename and writeback could otherwise leave a
+    # valid-looking checkpoint with a truncated arrays.npz.
+    fd = os.open(arrays_path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     manifest = {
         "format_version": FORMAT_VERSION,
         "step": step,
@@ -132,8 +141,9 @@ def all_checkpoints(ckpt_dir: str) -> list[str]:
         return []
     out = []
     for d in sorted(os.listdir(ckpt_dir)):
-        if _STEP_DIR.match(d) and os.path.exists(
-                os.path.join(ckpt_dir, d, "manifest.json")):
+        if (_STEP_DIR.match(d)
+                and os.path.exists(os.path.join(ckpt_dir, d, "manifest.json"))
+                and os.path.exists(os.path.join(ckpt_dir, d, "arrays.npz"))):
             out.append(os.path.join(ckpt_dir, d))
     return out
 

@@ -113,7 +113,7 @@ def _run_training(steps: int, batch: int, level: int, n_tiles: int,
         g_loss.backward()
         opt_g.step()
         times.append(time.perf_counter() - t0)
-    return g, times[warmup:], float(d_loss), float(g_loss)
+    return g, times[warmup:], float(d_loss.detach()), float(g_loss.detach())
 
 
 def measure(steps: int = 60, batch: int = 64, level: int = 16,

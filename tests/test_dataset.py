@@ -62,3 +62,41 @@ def test_dataset_sampler():
     np.testing.assert_array_equal(b1, ds2.sample(64))  # deterministic
     hist = ds.tile_histogram(8)
     assert hist.sum() == ds.levels.size and hist.shape == (8,)
+
+
+def test_from_config_rejects_out_of_range_corpus(tmp_path):
+    """Tile ids >= n_tiles (or wrapping dtypes) must fail loudly, not
+    corrupt training via uint8 wraparound / oversized KL histograms."""
+    import pytest
+
+    from levelgan.config import preset
+
+    cfg = preset("toy_dcgan_16")
+    bad = np.full((4, 16, 16), 300, np.int32)
+    path = str(tmp_path / "bad.npz")
+    np.savez(path, levels=bad)
+    with pytest.raises(ValueError, match="uint8"):
+        LevelDataset.from_config(
+            cfg.data.__class__(**{**cfg.data.__dict__, "corpus": path}),
+            cfg.model)
+
+    bad8 = np.full((4, 16, 16), cfg.model.n_tiles, np.uint8)
+    path8 = str(tmp_path / "bad8.npz")
+    np.savez(path8, levels=bad8)
+    with pytest.raises(ValueError, match="n_tiles"):
+        LevelDataset.from_config(
+            cfg.data.__class__(**{**cfg.data.__dict__, "corpus": path8}),
+            cfg.model)
+
+
+def test_carve_degenerate_size_has_start_and_goal():
+    """1-cell interiors (size 3) must still contain exactly one START and
+    one GOAL (env/features rely on the invariant)."""
+    from levelgan.data.dataset import GOAL, START, _carve_level
+
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        g = _carve_level(rng, 3, wall_density=0.25, hazard_rate=0.0,
+                         coin_rate=0.0)
+        assert (g == START).sum() == 1, g
+        assert (g == GOAL).sum() == 1, g

@@ -177,3 +177,23 @@ def test_sigterm_preemption_device_feed(tmp_path, monkeypatch):
                 np.asarray(a), np.asarray(b)),
             getattr(res_full["state"], field),
             getattr(res_resumed["state"], field))
+
+
+def test_resume_auto_skips_corrupt_latest(tmp_path, capsys):
+    """A truncated latest checkpoint (host crash mid-writeback) must not
+    brick auto-resume: the loader walks back to the last readable one."""
+    cfg = preset("toy_dcgan_16").override(**TINY).override(
+        **{"train.steps": 4, "train.steps_per_dispatch": 2,
+           "io.ckpt_every": 2, "io.keep_ckpts": 0,
+           "io.out_dir": str(tmp_path)})
+    train(cfg, echo=False)
+    ckpts = sorted((tmp_path / "ckpt").iterdir())
+    assert len(ckpts) >= 2
+    # corrupt the newest arrays.npz
+    (ckpts[-1] / "arrays.npz").write_bytes(b"PK\x03\x04 truncated")
+
+    cfg2 = cfg.override(**{"train.steps": 6, "io.resume": "auto"})
+    res = train(cfg2, echo=False)
+    out = capsys.readouterr().out
+    assert "skipping unreadable checkpoint" in out
+    assert int(np.asarray(res["state"].step)) == 6
