@@ -33,6 +33,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-12
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _pick_batch_tile(b: int, f: int, n_bufs: int) -> int:
+    """Largest divisor-of-b batch tile whose f32 working set fits VMEM.
+
+    Without tiling the whole [B, F] gradient is one VMEM block — at
+    gumbel_64 scale (F = 64*64*8, f32) that is 8MB per buffer, and the
+    backward holds ~3 such buffers: over VMEM on real TPUs (the CPU tests
+    run interpret mode and would never catch it)."""
+    bt = b
+    while bt > 1 and (b % bt or bt * f * 4 * n_bufs > _VMEM_BUDGET):
+        bt //= 2
+    return max(bt, 1)
 
 
 def _fwd_kernel(g_ref, pen_ref, norm_ref):
@@ -53,23 +67,36 @@ def _bwd_kernel(g_ref, norm_ref, ct_ref, dg_ref):
 
 def _pallas_fwd(g2):
     b, f = g2.shape
+    bt = _pick_batch_tile(b, f, n_bufs=2)   # g block + f32 cast
     return pl.pallas_call(
         _fwd_kernel,
+        grid=(b // bt,),
         out_shape=(jax.ShapeDtypeStruct((b, 1), jnp.float32),
                    jax.ShapeDtypeStruct((b, 1), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        in_specs=[pl.BlockSpec((bt, f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
         interpret=(jax.default_backend() == "cpu"),
     )(g2)
 
 
 def _pallas_bwd(g2, norm, ct):
+    b, f = g2.shape
+    bt = _pick_batch_tile(b, f, n_bufs=3)   # g block + scaled temp + dg
     return pl.pallas_call(
         _bwd_kernel,
+        grid=(b // bt,),
         out_shape=jax.ShapeDtypeStruct(g2.shape, g2.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[
+            pl.BlockSpec((bt, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, f), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         interpret=(jax.default_backend() == "cpu"),
     )(g2, norm, ct)
 

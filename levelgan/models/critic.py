@@ -28,6 +28,10 @@ class Critic(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         x = x.astype(dtype)
         n = int(np.log2(cfg.level_size // 4))
+        if 4 * 2 ** n != cfg.level_size:
+            # same validation as generator_stages: silently flooring n would
+            # build a mismatched downsampling trunk for e.g. level_size=48
+            raise ValueError(f"level_size must be 4*2^k, got {cfg.level_size}")
         chans = [min(cfg.critic_base_channels * 2 ** i, cfg.max_channels)
                  for i in range(n)]
 

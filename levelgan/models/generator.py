@@ -11,8 +11,11 @@ TPU-first design:
     (``ops.blocks.upsample_block_xla``) or the fused Pallas kernel K1
     (``kernels.upsample_block``) via ``cfg.use_pallas``.
   - Conditioning (config 4): the condition vector is embedded, concatenated
-    to z, AND modulates each stage's norm affine (FiLM) — the FiLM scale
-    folds into the same per-channel affine the fused kernel already applies.
+    to z, AND modulates each stage's output per-channel (FiLM).  NOTE: the
+    FiLM affine is applied POST-activation (after the block's LeakyReLU),
+    so it is NOT algebraically foldable into the fused kernel's
+    pre-activation GroupNorm affine — XLA fuses it as an elementwise
+    epilogue instead.
   - Output is raw logits [B, H, W, n_tiles]; sampling (softmax / Gumbel-ST /
     argmax) is applied by ``models.heads.sample_head`` so train/export paths
     choose their estimator explicitly.
@@ -38,7 +41,8 @@ def generator_stages(cfg: ModelConfig) -> list[int]:
             for i in range(n)]
 
 class UpsampleStage(nn.Module):
-    """ConvTranspose(4x4,s2) + GroupNorm(+FiLM) + LeakyReLU as one op."""
+    """ConvTranspose(4x4,s2) + GroupNorm + LeakyReLU as one op, with an
+    optional post-activation FiLM modulation of the stage output."""
     out_ch: int
     cfg: ModelConfig
 

@@ -75,10 +75,23 @@ def make_track_critic_update(cfg: Config):
     Conditioning (model.cond_dim > 0): symmetry-invariant ``track_features``
     of each real minibatch condition both networks, mirroring the tile
     family's wgan_gp step.
+
+    Deliberately NOT merged with ``train.wgan_gp.make_critic_scan``: the
+    two differ in per-iter key discipline (3 splits here vs 4 there — no
+    sampling-head key for the deterministic track G), and changing either
+    stream would break bit-exact resume against existing checkpoints and
+    the recorded statistical results.  Keep loss-shape changes in sync.
     """
     m, t = cfg.model, cfg.train
     gen, critic = TrackGenerator(m), TrackCritic(m)
     _, tx_d = make_optimizers(cfg)
+    if m.use_pallas:
+        # K2's penalty core is shape-agnostic (flattens g to [B, F]), so the
+        # flag means the same thing here as in the tile family's steps.
+        from levelgan.kernels.gp_penalty import \
+            gradient_penalty_pallas as gp_impl
+    else:
+        gp_impl = gradient_penalty
 
     def d_apply(pd, x, cond):
         return critic.apply({"params": pd}, x, cond)
@@ -99,7 +112,7 @@ def make_track_critic_update(cfg: Config):
             def d_loss_fn(pd):
                 wdist = d_apply(pd, real, cond).mean() - \
                     d_apply(pd, fake, cond).mean()
-                gp = gradient_penalty(d_apply, pd, k_eps, real, fake, cond)
+                gp = gp_impl(d_apply, pd, k_eps, real, fake, cond)
                 return -wdist + t.gp_lambda * gp, (gp, wdist)
 
             (d_loss, (gp, wdist)), grads = jax.value_and_grad(
@@ -189,7 +202,11 @@ def make_track_curriculum_step(cfg: Config):
         # ---- 2. sample tracks with exploration noise (REINFORCE) ----------
         cond_g = track_features(batch[-1]) if m.cond_dim else None
         z = jax.random.normal(k_z, (bsz, m.latent_dim), jnp.float32)
-        mean_tracks = gen.apply({"params": state.generator}, z, cond_g)
+        # ONE generator forward serves both the track sampling and the G
+        # update below (VJP captured here, loss gradient pulled back through
+        # it) — no duplicate forward inside a params-space value_and_grad.
+        mean_tracks, g_vjp = jax.vjp(
+            lambda pg: gen.apply({"params": pg}, z, cond_g), state.generator)
         noise = EXPLORE_SIGMA * jax.random.normal(
             k_expl, mean_tracks[..., 0].shape)
         # The Gaussian policy sample is scored UNCLIPPED (unbiased
@@ -230,8 +247,7 @@ def make_track_curriculum_step(cfg: Config):
                   + cur.w_gap * (traj_s.total_return - traj_w.total_return))
         advantage = jax.lax.stop_gradient(reward - state.g_baseline)
 
-        def g_loss_fn(pg):
-            out = gen.apply({"params": pg}, z, cond_g)
+        def g_loss_fn(out):
             gan_term = -d_apply(params_d, out, cond_g).mean()
             mu = out[..., 0]
             logp = -0.5 * jnp.sum(
@@ -239,8 +255,9 @@ def make_track_curriculum_step(cfg: Config):
             rl_term = -(advantage * logp).mean() / m.n_segments
             return gan_term + rl_term, (gan_term, rl_term, out)
 
-        (g_loss, (gan_term, rl_term, fake)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.generator)
+        (g_loss, (gan_term, rl_term, fake)), g_out = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(mean_tracks)
+        (g_grads,) = g_vjp(g_out)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.generator)
         params_g = optax.apply_updates(state.generator, g_updates)
         baseline = (cur.g_baseline_decay * state.g_baseline

@@ -75,6 +75,12 @@ def env_params(cfg: Config) -> EnvParams:
 def make_curriculum_step(cfg: Config):
     """Build the jit-able curriculum step. Batch: uint8 [n_critic, B, H, W]."""
     m, t, cur = cfg.model, cfg.train, cfg.curriculum
+    if m.head != "gumbel":
+        # The REINFORCE term scores HARD discrete levels; with any other
+        # head the critic/gan term would train on soft samples while the
+        # agents play discrete ones — two different sample spaces, silently.
+        raise ValueError(
+            f"curriculum loss requires model.head='gumbel', got '{m.head}'")
     gen, critic = Generator(m), Critic(m)
     tx_g, tx_d = make_optimizers(cfg)
     if m.use_pallas:
@@ -106,7 +112,12 @@ def make_curriculum_step(cfg: Config):
         # them from the last (un-augmented) real minibatch when conditioning.
         cond_g = level_features(batch_ids[-1]) if m.cond_dim else None
         z = jax.random.normal(k_zg, (bsz, m.latent_dim), jnp.float32)
-        logits = gen.apply({"params": state.generator}, z, cond_g)
+        # ONE generator forward serves both the level sampling (step 2) and
+        # the G update (step 5): capture its VJP here and pull the loss
+        # gradient back through it, instead of re-running the identical
+        # forward inside a value_and_grad over params.
+        logits, g_vjp = jax.vjp(
+            lambda pg: gen.apply({"params": pg}, z, cond_g), state.generator)
         levels_soft = jax.lax.stop_gradient(
             sample_head(k_sg, logits, "gumbel", tau))
         level_ids = decode(levels_soft)
@@ -141,8 +152,7 @@ def make_curriculum_step(cfg: Config):
                         + cur.w_gap * (traj_s.total_return - traj_w.total_return))
         advantage = jax.lax.stop_gradient(level_reward - state.g_baseline)
 
-        def g_loss_fn(pg):
-            lg = gen.apply({"params": pg}, z, cond_g)
+        def g_loss_fn(lg):
             fake = sample_head(k_sg, lg, m.head, tau)
             gan_term = -d_apply(params_d, fake, cond_g).mean()
             # score-function estimator on the same sampled levels
@@ -151,8 +161,9 @@ def make_curriculum_step(cfg: Config):
             rl_term = -(advantage * logp).mean() / (m.level_size ** 2)
             return gan_term + rl_term, (gan_term, rl_term)
 
-        (g_loss, (gan_term, rl_term)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.generator)
+        (g_loss, (gan_term, rl_term)), g_logits = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(logits)
+        (g_grads,) = g_vjp(g_logits)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.generator)
         params_g = optax.apply_updates(state.generator, g_updates)
 
