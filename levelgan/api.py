@@ -209,7 +209,12 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
         # (nb_per_dispatch-1)*batch_size levels that get thrown away.
         nb = min(nb_per_dispatch, n_batches_total - done)
         many = make_generate_many_fn(cfg, batch_size, nb, pack)
-        futures.append(many(params_g, sub, cond))
+        out = many(params_g, sub, cond)
+        # Kick off the D2H copy as soon as the block's compute retires so
+        # transfers overlap later blocks' compute (double-buffered pulls;
+        # the blocking np.asarray below then finds bytes already staged).
+        out.copy_to_host_async()
+        futures.append(out)
         done += nb
     pulled = [np.asarray(f).reshape(-1, per) for f in futures]
     flat = np.concatenate(pulled)
@@ -391,7 +396,8 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
         # instead of dying on the corrupt latest.
         from levelgan.lio.checkpoint import all_checkpoints
         loaded = None
-        for path in reversed(all_checkpoints(ckpt_dir)):
+        candidates = all_checkpoints(ckpt_dir)
+        for path in reversed(candidates):
             try:
                 loaded = load_checkpoint(path, jax.device_get(state))[0]
                 break
@@ -401,6 +407,14 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
             state = jax.device_put(loaded, repl)
             if echo:
                 print(f"[levelgan] resumed from {path}")
+        elif candidates:
+            # Checkpoints exist but ALL failed to load: an automated
+            # preemption-resume loop must not silently restart from step 0
+            # (it would retrain from scratch on every preemption forever).
+            raise RuntimeError(
+                f"resume='auto': {len(candidates)} checkpoint(s) in "
+                f"{ckpt_dir} but none loadable; refusing to silently "
+                "restart from scratch (pass resume='' to force a fresh run)")
     elif cfg.io.resume:
         if not os.path.isdir(cfg.io.resume):
             raise FileNotFoundError(

@@ -86,6 +86,11 @@ class DataConfig:
     hazard_rate: float = 0.04
     coin_rate: float = 0.06
 
+    def __post_init__(self):
+        if self.feed not in ("device", "host"):
+            raise ValueError(
+                f"data.feed must be 'device' or 'host', got {self.feed!r}")
+
 
 @dataclass(frozen=True)
 class DistConfig:
@@ -255,7 +260,7 @@ def preset(name: str) -> Config:
             preset="curriculum_16",
             model=ModelConfig(level_size=16, head="gumbel"),
             train=TrainConfig(loss="curriculum", batch_size=64, steps=3000,
-                              n_critic=3,
+                              n_critic=3, steps_per_dispatch=50,
                               lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
             curriculum=CurriculumConfig(),
         ),
@@ -272,7 +277,7 @@ def preset(name: str) -> Config:
             preset="race_curriculum_32",
             model=ModelConfig(family="track", n_segments=32, latent_dim=32),
             train=TrainConfig(loss="curriculum", batch_size=64, steps=3000,
-                              n_critic=3,
+                              n_critic=3, steps_per_dispatch=50,
                               lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
             curriculum=CurriculumConfig(rollout_steps=64),
         ),

@@ -136,11 +136,14 @@ class LevelDataset:
             levels = np.load(data_cfg.corpus)
             if isinstance(levels, np.lib.npyio.NpzFile):
                 levels = levels["levels"]
-            if levels.size and int(levels.max()) > 255 or \
-                    np.issubdtype(levels.dtype, np.floating):
+            if np.issubdtype(levels.dtype, np.floating) or (
+                    levels.size and (int(levels.min()) < 0
+                                     or int(levels.max()) > 255)):
+                rng_txt = (f"range [{levels.min()}, {levels.max()}]"
+                           if levels.size else "empty")
                 raise ValueError(
                     f"corpus {data_cfg.corpus} has dtype {levels.dtype} / "
-                    f"max {levels.max()}: tile ids must be integer uint8 "
+                    f"{rng_txt}: tile ids must be integer in [0, 255] "
                     "(astype would silently wrap out-of-range values)")
             levels = levels.astype(np.uint8)
         # A corpus tile id >= n_tiles would make the KL reference histogram

@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def init_distributed(dist_cfg) -> bool:
@@ -38,13 +39,26 @@ def init_distributed(dist_cfg) -> bool:
     return True
 
 
-def make_mesh(dp: int = 0, devices=None) -> Mesh:
-    """1-D data-parallel mesh over ``dp`` devices (0 = all visible)."""
+def make_mesh(dp: int = 0, devices=None, tp: int = 1) -> Mesh:
+    """('data',) mesh over ``dp`` devices (0 = all visible).
+
+    ``tp > 1`` adds a trailing 'model' axis — the L4 design hook for
+    channel/tensor sharding (SURVEY.md §2.3: TP is not built, but the mesh
+    must be able to EXPRESS it: a conv kernel sharded
+    ``P(None, None, None, 'model')`` + batch ``P('data')`` is a pure
+    annotation change on this mesh; XLA inserts the collectives).  With the
+    default tp=1 the mesh is effectively 1-D and every existing
+    ``P('data')``/``P()`` spec is unchanged.
+    """
     devices = list(devices if devices is not None else jax.devices())
-    n = dp if dp > 0 else len(devices)
-    if n > len(devices):
-        raise ValueError(f"requested dp={n} but only {len(devices)} devices")
-    return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
+    n = dp if dp > 0 else len(devices) // tp
+    if n * tp > len(devices):
+        raise ValueError(f"requested dp={n} x tp={tp} but only "
+                         f"{len(devices)} devices")
+    if tp == 1:
+        return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
+    return Mesh(np.asarray(devices[:n * tp]).reshape(n, tp),
+                (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -146,8 +146,9 @@ def rollout(policy_apply, agent_params, ids: jax.Array, onehot: jax.Array,
         return (new_pos, new_coins, new_done), out
 
     keys = jax.random.split(key, p.rollout_steps)
-    (pos_f, coins_f, done_f), (pos_t, coins_t, act_t, rew_t, active_t) = \
-        jax.lax.scan(env_step, (pos0, coins0, done0), keys)
+    with jax.named_scope("rollout_scan"):      # profiler range (SURVEY §5.1)
+        (pos_f, coins_f, done_f), (pos_t, coins_t, act_t, rew_t, active_t) = \
+            jax.lax.scan(env_step, (pos0, coins0, done0), keys)
 
     def disc(carry, r):
         g = r + p.gamma * carry

@@ -46,7 +46,17 @@ def _pick_batch_tile(b: int, f: int, n_bufs: int) -> int:
     bt = b
     while bt > 1 and (b % bt or bt * f * 4 * n_bufs > _VMEM_BUDGET):
         bt //= 2
-    return max(bt, 1)
+    bt = max(bt, 1)
+    if bt * f * 4 * n_bufs > _VMEM_BUDGET:
+        # Even one row exceeds the budget (e.g. a future 256x256/16-tile
+        # config): emitting the oversize block would reproduce exactly the
+        # VMEM exhaustion this tiling exists to prevent. Fail loudly; the
+        # caller's fix is the pure-XLA gradient_penalty oracle.
+        raise ValueError(
+            f"norm_penalty: single-sample working set {f * 4 * n_bufs} B "
+            f"exceeds the {_VMEM_BUDGET} B VMEM budget; use the XLA "
+            "gradient_penalty fallback for this shape")
+    return bt
 
 
 def _fwd_kernel(g_ref, pen_ref, norm_ref):
@@ -128,11 +138,12 @@ def gradient_penalty_pallas(d_apply, params_d, key, real, fake,
     w.r.t. ``params_d`` (double backward)."""
     from levelgan.ops.grad_penalty import interpolate
 
-    x_hat = interpolate(key, real, fake)
+    with jax.named_scope("K2_grad_penalty_pallas"):
+        x_hat = interpolate(key, real, fake)
 
-    def d_sum(x):
-        return d_apply(params_d, x, cond).astype(jnp.float32).sum()
+        def d_sum(x):
+            return d_apply(params_d, x, cond).astype(jnp.float32).sum()
 
-    g = jax.grad(d_sum)(x_hat)
-    g2 = g.reshape(g.shape[0], -1)
-    return jnp.mean(norm_penalty(g2))
+        g = jax.grad(d_sum)(x_hat)
+        g2 = g.reshape(g.shape[0], -1)
+        return jnp.mean(norm_penalty(g2))

@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import flax.linen as nn
 
+import jax
 import jax.numpy as jnp
 
 from levelgan.config import ModelConfig
@@ -56,11 +57,14 @@ class UpsampleStage(nn.Module):
         dtype = jnp.dtype(self.cfg.dtype)
         if self.cfg.use_pallas:
             from levelgan.kernels.upsample_block import upsample_block_pallas
-            block = upsample_block_pallas
+            block, scope = upsample_block_pallas, "K1_upsample_pallas"
         else:
-            block = upsample_block_xla
-        y = block(x, w, gamma, beta, slope=self.cfg.leaky_slope,
-                  group_size=self.cfg.group_size, compute_dtype=dtype)
+            block, scope = upsample_block_xla, "K1_upsample_xla"
+        # named_scope -> XLA op metadata -> visible as a range in profiler
+        # traces (SURVEY.md §5.1)
+        with jax.named_scope(scope):
+            y = block(x, w, gamma, beta, slope=self.cfg.leaky_slope,
+                      group_size=self.cfg.group_size, compute_dtype=dtype)
         if film is not None:
             # FiLM: per-sample, per-channel modulation of the stage output.
             # Zero-init => identity at init; elementwise, fused by XLA into

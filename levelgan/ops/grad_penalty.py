@@ -30,15 +30,16 @@ def gradient_penalty(d_apply, params_d, key, real, fake, cond=None) -> jax.Array
     ``d_apply(params, x, cond) -> [B] scores``.  Differentiable w.r.t.
     ``params_d`` (the double backward the north star names).
     """
-    x_hat = interpolate(key, real, fake)
+    with jax.named_scope("K2_grad_penalty_xla"):
+        x_hat = interpolate(key, real, fake)
 
-    def d_sum(x):
-        return d_apply(params_d, x, cond).astype(jnp.float32).sum()
+        def d_sum(x):
+            return d_apply(params_d, x, cond).astype(jnp.float32).sum()
 
-    # Sum trick: outputs are per-sample independent, so grad of the sum is
-    # the batch of per-sample input gradients.
-    g = jax.grad(d_sum)(x_hat)
-    sq = jnp.sum(jnp.square(g.astype(jnp.float32)),
-                 axis=tuple(range(1, g.ndim)))
-    norms = jnp.sqrt(sq + 1e-12)
-    return jnp.mean(jnp.square(norms - 1.0))
+        # Sum trick: outputs are per-sample independent, so grad of the sum
+        # is the batch of per-sample input gradients.
+        g = jax.grad(d_sum)(x_hat)
+        sq = jnp.sum(jnp.square(g.astype(jnp.float32)),
+                     axis=tuple(range(1, g.ndim)))
+        norms = jnp.sqrt(sq + 1e-12)
+        return jnp.mean(jnp.square(norms - 1.0))

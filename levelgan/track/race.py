@@ -137,8 +137,9 @@ def race_rollout(policy_apply, agent_params, tracks: jax.Array,
         return new_car, (obs, action, reward, crashed.astype(jnp.float32))
 
     keys = jax.random.split(key, p.rollout_steps)
-    car_f, (obs_t, act_t, rew_t, crash_t) = jax.lax.scan(
-        env_step, car0, keys)
+    with jax.named_scope("rollout_scan"):      # profiler range (SURVEY §5.1)
+        car_f, (obs_t, act_t, rew_t, crash_t) = jax.lax.scan(
+            env_step, car0, keys)
 
     def disc(carry, r):
         g = r + p.gamma * carry

@@ -64,8 +64,9 @@ def make_critic_scan(cfg: Config, gen, critic, tx_d, gp_impl):
             params_d = optax.apply_updates(params_d, updates)
             return (params_d, opt_d), {"d_loss": d_loss, "gp": gp, "wdist": wdist}
 
-        (params_d, opt_d), it = jax.lax.scan(
-            critic_iter, (params_d, opt_d), (batch_ids, iter_keys))
+        with jax.named_scope("critic_scan"):   # profiler range (SURVEY §5.1)
+            (params_d, opt_d), it = jax.lax.scan(
+                critic_iter, (params_d, opt_d), (batch_ids, iter_keys))
         return params_d, opt_d, it
 
     return run

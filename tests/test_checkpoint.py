@@ -29,6 +29,7 @@ def _assert_tree_equal(a, b):
         a, b)
 
 
+@pytest.mark.slow
 def test_roundtrip(cfg, tmp_path):
     state = create_state(cfg)
     path = save_checkpoint(str(tmp_path), state, cfg)

@@ -64,6 +64,7 @@ def test_curriculum_checkpoint_roundtrip(cfg, stepped, tmp_path):
             getattr(state, field), getattr(restored, field))
 
 
+@pytest.mark.slow
 def test_deterministic(cfg):
     rng = np.random.default_rng(1)
     batch = rng.integers(0, 8, size=(2, 8, 16, 16)).astype(np.uint8)
@@ -76,6 +77,7 @@ def test_deterministic(cfg):
     assert outs[0] == outs[1]
 
 
+@pytest.mark.slow
 def test_conditional_curriculum_step_runs(cfg):
     """cond_dim > 0 must condition G in the curriculum step too (it used to
     crash: the critic loop supported cond but G sampling hard-coded None)."""

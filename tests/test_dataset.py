@@ -1,3 +1,5 @@
+import pytest
+
 import numpy as np
 
 from levelgan.config import EMPTY, GOAL, START, WALL, Config
@@ -53,6 +55,7 @@ def test_corpus_feature_diversity():
     assert wall_frac.max() - wall_frac.min() > 0.15
 
 
+@pytest.mark.slow
 def test_dataset_sampler():
     cfg = Config()
     ds = LevelDataset.from_config(cfg.data, cfg.model, seed=5)
@@ -72,13 +75,15 @@ def test_from_config_rejects_out_of_range_corpus(tmp_path):
     from levelgan.config import preset
 
     cfg = preset("toy_dcgan_16")
-    bad = np.full((4, 16, 16), 300, np.int32)
-    path = str(tmp_path / "bad.npz")
-    np.savez(path, levels=bad)
-    with pytest.raises(ValueError, match="uint8"):
-        LevelDataset.from_config(
-            cfg.data.__class__(**{**cfg.data.__dict__, "corpus": path}),
-            cfg.model)
+    for bad in (np.full((4, 16, 16), 300, np.int32),       # > 255 wraps
+                np.full((4, 16, 16), -1, np.int32),        # < 0 wraps
+                np.zeros((4, 16, 16), np.float32)):        # float ids
+        path = str(tmp_path / "bad.npz")
+        np.savez(path, levels=bad)
+        with pytest.raises(ValueError, match="tile ids must be integer"):
+            LevelDataset.from_config(
+                cfg.data.__class__(**{**cfg.data.__dict__, "corpus": path}),
+                cfg.model)
 
     bad8 = np.full((4, 16, 16), cfg.model.n_tiles, np.uint8)
     path8 = str(tmp_path / "bad8.npz")

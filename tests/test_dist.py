@@ -46,6 +46,7 @@ def test_shard_batch_places_on_mesh(devices8):
     assert len(x.devices()) == 4
 
 
+@pytest.mark.slow
 def test_dp8_matches_single_device(devices8):
     """Same global batch: 8-way DP step == single-device step (grad pmean
     emitted by XLA from shardings)."""
@@ -64,6 +65,36 @@ def test_dp8_matches_single_device(devices8):
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=5e-4, atol=5e-6),
         state1.generator, state8.generator)
+
+
+def test_2d_mesh_expresses_channel_sharding(devices8):
+    """SURVEY.md §2.3: TP is not built, but the mesh must be able to EXPRESS
+    channel sharding as a pure annotation.  A (data=4, model=2) mesh with a
+    'model'-sharded conv kernel must produce the replicated-weights result
+    (XLA inserts the collectives from the specs alone)."""
+    import jax.numpy as jnp
+
+    mesh = make_mesh(4, tp=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (4, 2)
+
+    x = np.random.default_rng(0).normal(size=(8, 8, 8, 16)).astype(np.float32)
+    w = np.random.default_rng(1).normal(size=(3, 3, 16, 32)).astype(np.float32)
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y_repl = conv(x, w)
+    f = jax.jit(conv, in_shardings=(
+        NamedSharding(mesh, P("data")),
+        NamedSharding(mesh, P(None, None, None, "model"))))
+    y_tp = f(jax.device_put(x, NamedSharding(mesh, P("data"))),
+             jax.device_put(w, NamedSharding(mesh, P(None, None, None,
+                                                     "model"))))
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_repl),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_batch_not_divisible_rejected(devices8):

@@ -7,6 +7,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 from levelgan.api import generate, train
 from levelgan.cli.export import main as export_main
 from levelgan.cli.train import main as train_main

@@ -3,6 +3,9 @@ EXACTLY equivalent to an uninterrupted run (params bit-match), because
 per-step keys fold from (rng, step) and data sampling is stateless in
 (seed, step)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
 import jax
 import numpy as np
 

@@ -12,6 +12,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 from levelgan import api
 from levelgan.api import (corpus_array, make_dataset, make_device_feed_step,
                           make_multi_step_device, make_state, make_step_fn)

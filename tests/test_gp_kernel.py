@@ -1,6 +1,7 @@
 """K2 kernel tier: the Pallas gradient-penalty core must match the XLA
 oracle — value AND the double-backward gradient w.r.t. critic params."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -85,6 +86,7 @@ def test_double_backward_matches_oracle_conv_critic():
         gp, gx)
 
 
+@pytest.mark.slow
 def test_wgan_step_with_pallas_gp():
     """End-to-end: WGAN-GP step runs with use_pallas (Pallas GP core +
     Pallas upsample blocks) and matches metrics shape/finiteness."""

@@ -47,21 +47,70 @@ def test_pallas_forward_matches_oracle(b, h, ci, co):
     np.testing.assert_allclose(y_p, y_x, atol=1e-4, rtol=1e-4)
 
 
-def test_pallas_backward_matches_oracle():
-    x, w, gamma, beta = _io(4, 8, 32, 16)
+def _grad_of(fn):
+    def loss(x, w, g, b):
+        y = fn(x, w, g, b, slope=0.2, group_size=8,
+               compute_dtype=jnp.float32)
+        # non-uniform cotangent so the bwd sees a structured g
+        return (y ** 2).sum() + 0.3 * y[..., 0].sum()
+    return jax.grad(loss, argnums=(0, 1, 2, 3))
 
-    def mk(fn):
-        def loss(x, w, g, b):
-            y = fn(x, w, g, b, slope=0.2, group_size=8,
-                   compute_dtype=jnp.float32)
-            return (y ** 2).sum()
-        return jax.grad(loss, argnums=(0, 1, 2, 3))
 
-    gp = mk(upsample_block_pallas)(x, w, gamma, beta)
-    gx = mk(upsample_block_xla)(x, w, gamma, beta)
-    for i, (a, b) in enumerate(zip(gp, gx)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+@pytest.mark.parametrize("b,h,ci,co", [
+    (4, 4, 64, 32),    # deepest stage shape (scaled down)
+    (4, 8, 32, 16),
+    (2, 16, 16, 16),
+    (3, 4, 24, 8),     # non-pow2 batch/channels
+])
+def test_pallas_backward_matches_oracle(b, h, ci, co):
+    x, w, gamma, beta = _io(b, h, ci, co)
+    gp = _grad_of(upsample_block_pallas)(x, w, gamma, beta)
+    gx = _grad_of(upsample_block_xla)(x, w, gamma, beta)
+    for i, (a, bb) in enumerate(zip(gp, gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=5e-3, rtol=1e-3, err_msg=f"arg {i}")
+
+
+def test_pallas_backward_batch_tiled(monkeypatch):
+    """Force bt < b so the dgamma/dbeta cross-program accumulation and the
+    per-tile dx/dy paths are exercised (the VMEM-exhaustion regime the CPU
+    interpret tests would otherwise never reach)."""
+    import levelgan.kernels.upsample_block as ub
+    monkeypatch.setattr(ub, "_VMEM_BUDGET", 256 * 1024)
+    ub._make_op.cache_clear()
+    try:
+        x, w, gamma, beta = _io(8, 8, 16, 16)
+        gp = _grad_of(upsample_block_pallas)(x, w, gamma, beta)
+        gx = _grad_of(upsample_block_xla)(x, w, gamma, beta)
+        for i, (a, bb) in enumerate(zip(gp, gx)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       atol=5e-3, rtol=1e-3, err_msg=f"arg {i}")
+    finally:
+        ub._make_op.cache_clear()
+
+
+def test_generator_grads_with_pallas_match_xla():
+    """Whole-Generator backward with use_pallas on/off (the training path)."""
+    from levelgan.config import ModelConfig
+    from levelgan.models import Generator
+
+    m_x = ModelConfig(level_size=16, base_channels=16, group_size=8,
+                      latent_dim=8, dtype="float32", use_pallas=False)
+    m_p = m_x.__class__(**{**m_x.__dict__, "use_pallas": True})
+    z = jax.random.normal(jax.random.key(0), (4, 8))
+    params = Generator(m_x).init(jax.random.key(1), z)["params"]
+
+    def loss(model, p):
+        return (Generator(model).apply({"params": p}, z) ** 2).mean()
+
+    gx = jax.grad(lambda p: loss(m_x, p))(params)
+    gp = jax.grad(lambda p: loss(m_p, p))(params)
+    flat_x = jax.tree_util.tree_leaves_with_path(gx)
+    flat_p = jax.tree_util.tree_leaves(gp)
+    for (path, a), b in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-3, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(path))
 
 
 def test_pallas_bf16_close_to_f32_oracle():

@@ -2,6 +2,9 @@
 identical to K single-step dispatches (f32; bf16 differs only by
 compile-variant rounding)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
 import jax
 import numpy as np
 

@@ -1,3 +1,5 @@
+import pytest
+
 import numpy as np
 
 from levelgan.data.dataset import synthetic_corpus
@@ -32,6 +34,7 @@ def test_kl_gate():
     assert not kl_gate(junk, ref, 8, threshold=0.05)["passed"]
 
 
+@pytest.mark.slow
 def test_validate_cli(tmp_path):
     """tools.validate runs end-to-end on a (barely trained) checkpoint."""
     import json

@@ -2,6 +2,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # fast tier: pytest -m 'not slow'
+
 from levelgan.api import generate, train
 from levelgan.config import preset
 from levelgan.lio.checkpoint import load_checkpoint, save_checkpoint

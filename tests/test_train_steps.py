@@ -71,6 +71,7 @@ def test_gan_step_changes_params(tiny_gan_cfg):
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
 
 
+@pytest.mark.slow
 def test_wgan_step_runs(tiny_wgan_cfg):
     cfg = tiny_wgan_cfg
     state = create_state(cfg)
@@ -83,6 +84,7 @@ def test_wgan_step_runs(tiny_wgan_cfg):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_wgan_gp_decreases_on_trained_critic(tiny_wgan_cfg):
     """A few critic updates should push the GP term down from init."""
     cfg = tiny_wgan_cfg
@@ -95,6 +97,7 @@ def test_wgan_gp_decreases_on_trained_critic(tiny_wgan_cfg):
     assert gps[-1] < gps[0]
 
 
+@pytest.mark.slow
 def test_gan_learns_toy_distribution(tiny_gan_cfg):
     """Statistical tier (SURVEY.md §4.2): 150 steps on a structured corpus
     drive the generated tile histogram toward the corpus — KL must drop

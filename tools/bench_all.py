@@ -114,10 +114,22 @@ def main(argv=None):
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     help="dotted config override applied to every preset, "
                          "e.g. --set model.use_pallas=true")
+    ap.add_argument("--tpu-tests", action="store_true",
+                    help="run the real-TPU kernel tier (tests_tpu/) first "
+                         "so kernel regressions surface before benching")
     args = ap.parse_args(argv)
 
     if args.trials < 1 or args.k < 1:
         raise SystemExit("--trials and --k must be >= 1")
+
+    if args.tpu_tests:
+        # In-process (the chip is single-tenant: a subprocess would fight
+        # this process for the backend).  -p no:cacheprovider keeps the
+        # repo clean when invoked from read-only contexts.
+        import pytest as _pytest
+        rc = _pytest.main(["tests_tpu", "-q", "-p", "no:cacheprovider"])
+        if rc != 0:
+            raise SystemExit(f"tests_tpu tier failed (exit {rc})")
 
     from levelgan.cli.train import parse_overrides
     overrides = parse_overrides(args.set)
