@@ -163,7 +163,9 @@ def _fwd_usage(bt, h, w, ci, co, itemsize):
     (co=32 blocks occupy 4x their logical bytes — the round-2 OOM)."""
     xp = _blk(bt, h + 2, w + 2, ci, itemsize)
     wgt = 4 * 4 * _sublane_pad(ci) * _lane_pad(co) * itemsize
-    outs = 10 * _blk(bt, h, w, co, itemsize)       # 4 act + 4 res + stats
+    # 4 act + 4 residual parity blocks, plus two [Bt, 1, Co] f32 stat blocks
+    outs = (8 * _blk(bt, h, w, co, itemsize)
+            + 2 * bt * _sublane_pad(1) * _lane_pad(co) * 4)
     ins_outs = 2 * (xp + wgt + outs)               # double-buffered
     vals = 6 * _blk(bt, h, w, co, 4)               # 4x f32 ys + temporaries
     return ins_outs + vals
@@ -249,12 +251,11 @@ def _deinterleave(g):
 def _bwd_kernel(w_ref, gamma_ref, beta_ref, mu_ref, rstd_ref,
                 g0, g1, g2, g3, y0, y1, y2, y3,
                 dx_ref, dy0, dy1, dy2, dy3, dgamma_ref, dbeta_ref,
-                p0, p1, p2, p3, *,
+                pad_ref, *,
                 h, w, ci, co, groups, slope, out_dtype):
     g_refs = (g0, g1, g2, g3)
     y_refs = (y0, y1, y2, y3)
     dy_refs = (dy0, dy1, dy2, dy3)
-    pad_refs = (p0, p1, p2, p3)
     bt = g0.shape[0]
     gs = co // groups
 
@@ -265,20 +266,26 @@ def _bwd_kernel(w_ref, gamma_ref, beta_ref, mu_ref, rstd_ref,
     gamma = gamma_ref[:].astype(jnp.float32)    # [1, Co]
     beta = beta_ref[:].astype(jnp.float32)
 
+    def relu_gn_locals(p):
+        # Recomputed in each phase rather than kept alive across phases:
+        # holding xn/dout for all 4 parities costs 8 f32 blocks of VMEM —
+        # the scoped-vmem OOM the real-TPU tier caught at the widest f32
+        # stage (h=32, 17.9M > the 16M hard limit).  Recompute is a few
+        # VPU ops against MXU-dominated phases.
+        y = y_refs[p][:].astype(jnp.float32)
+        xn = (y - mu_b) * rstd_b
+        outv = xn * gamma + beta
+        gp = g_refs[p][:].astype(jnp.float32)
+        dout = jnp.where(outv >= 0, gp, slope * gp)
+        return xn, dout
+
     # --- LeakyReLU bwd + stats sums, per parity ---------------------------
-    xns, douts = [], []
     s1 = jnp.zeros((bt, co), jnp.float32)
     s2 = jnp.zeros((bt, co), jnp.float32)
     for p in range(4):
-        y = y_refs[p][:].astype(jnp.float32)
-        gp = g_refs[p][:].astype(jnp.float32)
-        xn = (y - mu_b) * rstd_b
-        outv = xn * gamma + beta
-        dout = jnp.where(outv >= 0, gp, slope * gp)
+        xn, dout = relu_gn_locals(p)
         s1 = s1 + jnp.sum(dout, axis=(1, 2))
         s2 = s2 + jnp.sum(dout * xn, axis=(1, 2))
-        xns.append(xn)
-        douts.append(dout)
 
     # --- affine grads, accumulated across batch-tile grid programs -------
     @pl.when(pl.program_id(0) == 0)
@@ -313,26 +320,28 @@ def _bwd_kernel(w_ref, gamma_ref, beta_ref, mu_ref, rstd_ref,
         member.T, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    for p in range(4):
+    # --- GN bwd + conv-transpose dx, one parity at a time -----------------
+    # dx[u,v] = sum_{(a,b),r,s} dyp_(a,b)[u + 2-a-r, v + 2-b-s] @ w[a+2r,b+2s]^T
+    acc = None
+    for p, (a, b) in enumerate(_PARITIES):
+        xn, dout = relu_gn_locals(p)
         dy = rstd_b * (
-            douts[p] * gamma - m1c[:, None, None, :]
-            - xns[p] * m2c[:, None, None, :])
+            dout * gamma - m1c[:, None, None, :]
+            - xn * m2c[:, None, None, :])
         dyc = dy.astype(out_dtype)
         dy_refs[p][:] = dyc
         # stage the zero-padded cotangent in a VMEM scratch REF: the dx
         # taps below then read ref slices at sublane offsets 0..2 — the
         # exact access pattern the fwd kernel uses on xp_ref (Mosaic
-        # handles offset ref reads; offset VALUE slices it does not)
-        pad_refs[p][:] = jnp.pad(dyc, ((0, 0), (1, 1), (1, 1), (0, 0)))
-
-    # --- conv-transpose dx: gather-form per-tap matmuls -------------------
-    # dx[u,v] = sum_{(a,b),r,s} dyp_(a,b)[u + 2-a-r, v + 2-b-s] @ w[a+2r,b+2s]^T
-    acc = None
-    for p, (a, b) in enumerate(_PARITIES):
+        # handles offset ref reads; offset VALUE slices it does not).
+        # ONE scratch buffer reused across parities: the 4 taps of parity p
+        # are consumed before parity p+1 overwrites it (3 fewer padded
+        # blocks resident).
+        pad_ref[:] = jnp.pad(dyc, ((0, 0), (1, 1), (1, 1), (0, 0)))
         for r in (0, 1):
             for s in (0, 1):
                 ro, cofs = 2 - a - r, 2 - b - s
-                tap = pad_refs[p][:, ro:ro + h, cofs:cofs + w, :]
+                tap = pad_ref[:, ro:ro + h, cofs:cofs + w, :]
                 part = jax.lax.dot_general(
                     tap.reshape(bt * h * w, co), w_ref[a + 2 * r, b + 2 * s],
                     (((1,), (1,)), ((), ())),
@@ -346,9 +355,10 @@ def _bwd_usage(bt, h, w, ci, co, itemsize):
     wgt = 4 * 4 * _sublane_pad(ci) * _lane_pad(co) * itemsize
     ins = 8 * _blk(bt, h, w, co, itemsize) + wgt
     outs = _blk(bt, h, w, ci, itemsize) + 4 * _blk(bt, h, w, co, itemsize)
-    scratch = 4 * _blk(bt, h + 2, w + 2, co, itemsize)
-    # per-parity f32 xn/dout + dy + matmul accumulator + temporaries
-    vals = (10 * _blk(bt, h, w, co, 4) + _blk(bt, h, w, ci, 4))
+    scratch = _blk(bt, h + 2, w + 2, co, itemsize)
+    # phase-local f32 values (xn/dout/dy of ONE parity + temporaries) plus
+    # the dx matmul accumulator
+    vals = 4 * _blk(bt, h, w, co, 4) + _blk(bt, h, w, ci, 4)
     return 2 * (ins + outs) + scratch + vals
 
 
@@ -386,7 +396,7 @@ def _backward(w, gamma, beta, mu3, rstd3, g_ps, y_ps, *,
         out_shape=[jax.ShapeDtypeStruct((b, h, ww, ci), cdt)]
         + [par_shape] * 4
         + [jax.ShapeDtypeStruct((1, co), jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM((bt, h + 2, ww + 2, co), cdt)] * 4,
+        scratch_shapes=[pltpu.VMEM((bt, h + 2, ww + 2, co), cdt)],
         cost_estimate=pl.CostEstimate(
             flops=32 * b * h * ww * ci * co,
             bytes_accessed=(13 * b * h * ww * co * cdt.itemsize
@@ -454,9 +464,43 @@ def _make_op(slope: float, group_size: int, dtype_name: str):
     return op
 
 
+# Mosaic's scoped-vmem hard cap is 16 MB per kernel; leave headroom for its
+# own bookkeeping.  Checked at bt=1 (the smallest batch tile the grid can
+# shrink to) with Mosaic's observed buffering: grid-varying in/out blocks
+# double-buffered, constant-index blocks (weights) resident once.
+_SCOPED_LIMIT = 15 * 1024 * 1024
+
+
+def pallas_fits(b, h, w_sp, ci, co, compute_dtype) -> bool:
+    """Whether the fused fwd AND bwd kernels fit scoped VMEM at this shape.
+
+    The real-TPU tier showed the f32 widest stage (h=32, ci=64, co=32)
+    needs 17.65 MB scoped for the bwd even at bt=1 — over the 16 MB hard
+    cap (lane padding: co=32 parity blocks occupy 4x their bytes).  The
+    estimators double-count the constant weight block relative to Mosaic's
+    accounting, so it is subtracted back once here."""
+    itemsize = jnp.dtype(compute_dtype).itemsize
+    wgt = 4 * 4 * _sublane_pad(ci) * _lane_pad(co) * itemsize
+    fwd = _fwd_usage(1, h, w_sp, ci, co, itemsize) - wgt
+    bwd = _bwd_usage(1, h, w_sp, ci, co, itemsize) - wgt
+    return max(fwd, bwd) <= _SCOPED_LIMIT
+
+
 def upsample_block_pallas(x, w, gamma, beta, *, slope: float = 0.2,
                           group_size: int = 16,
                           compute_dtype=jnp.bfloat16):
-    """Drop-in twin of ``ops.blocks.upsample_block_xla`` (same signature)."""
+    """Drop-in twin of ``ops.blocks.upsample_block_xla`` (same signature).
+
+    Guarantee-run: shapes whose fused working set cannot fit Mosaic's
+    scoped-VMEM cap even at batch tile 1 (e.g. the widest stage at f32)
+    dispatch to the XLA twin instead of failing at compile time.  Every
+    shipped bf16 stage fits."""
+    b, h, ww, ci = x.shape
+    co = w.shape[-1]
+    if not pallas_fits(b, h, ww, ci, co, compute_dtype):
+        from levelgan.ops.blocks import upsample_block_xla
+        return upsample_block_xla(x, w, gamma, beta, slope=slope,
+                                  group_size=group_size,
+                                  compute_dtype=compute_dtype)
     op = _make_op(float(slope), int(group_size), jnp.dtype(compute_dtype).name)
     return op(x, w, gamma, beta)

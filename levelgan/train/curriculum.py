@@ -84,7 +84,10 @@ def make_curriculum_step(cfg: Config):
     gen, critic = Generator(m), Critic(m)
     tx_g, tx_d = make_optimizers(cfg)
     if m.use_pallas:
-        from levelgan.kernels.gp_penalty import gradient_penalty_pallas as gp_impl
+        # stage-(c) fused critic-gradient kernel where supported (the 16x16
+        # curriculum critic is), stage-(b) penalty core elsewhere
+        from levelgan.kernels.critic_grad import make_gradient_penalty
+        gp_impl = make_gradient_penalty(m)
     else:
         gp_impl = gradient_penalty
     tx_s, tx_w = make_agent_optimizers(cfg)

@@ -78,7 +78,10 @@ def make_wgan_gp_step(cfg: Config):
     gen, critic = Generator(m), Critic(m)
     tx_g, tx_d = make_optimizers(cfg)
     if m.use_pallas:
-        from levelgan.kernels.gp_penalty import gradient_penalty_pallas as gp_impl
+        # stage-(c) fused critic-gradient kernel for the small critics,
+        # stage-(b) penalty core elsewhere (kernels/critic_grad.py)
+        from levelgan.kernels.critic_grad import make_gradient_penalty
+        gp_impl = make_gradient_penalty(m)
     else:
         gp_impl = gradient_penalty
 

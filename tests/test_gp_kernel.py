@@ -86,6 +86,85 @@ def test_double_backward_matches_oracle_conv_critic():
         gp, gx)
 
 
+def _critic_cfg(level, cond_dim=0):
+    from levelgan.config import ModelConfig
+    return ModelConfig(level_size=level, critic_base_channels=16,
+                       group_size=8, dtype="float32", cond_dim=cond_dim)
+
+
+@pytest.mark.parametrize("level,cond_dim", [(16, 0), (32, 0), (16, 4)])
+def test_fused_critic_input_grad_matches_oracle(level, cond_dim):
+    """K2 stage (c): the fused critic-forward+input-gradient kernel must
+    match jax.grad through the XLA-twin critic."""
+    from levelgan.kernels.critic_grad import make_critic_input_grad
+    from levelgan.models import Critic
+
+    m = _critic_cfg(level, cond_dim)
+    critic = Critic(m)
+    x0 = jnp.zeros((2, level, level, m.n_tiles))
+    cond0 = jnp.zeros((2, cond_dim)) if cond_dim else None
+    params = critic.init(jax.random.key(0), x0, cond0)["params"]
+
+    x = jax.random.normal(jax.random.key(1), (4, level, level, m.n_tiles))
+    cond = (jax.random.normal(jax.random.key(2), (4, cond_dim))
+            if cond_dim else None)
+
+    g_fused = make_critic_input_grad(m)(params, x, cond)
+    g_oracle = jax.grad(lambda xx: critic.apply(
+        {"params": params}, xx, cond).astype(jnp.float32).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_oracle),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("level,cond_dim", [(16, 0), (32, 0), (16, 4)])
+def test_fused_gp_value_and_double_backward(level, cond_dim):
+    """K2 stage (c): penalty value and its params-gradient (the WGAN-GP
+    double backward) must match the pure-XLA oracle."""
+    from levelgan.kernels.critic_grad import make_gradient_penalty
+    from levelgan.models import Critic
+
+    m = _critic_cfg(level, cond_dim)
+    critic = Critic(m)
+    x0 = jnp.zeros((2, level, level, m.n_tiles))
+    cond0 = jnp.zeros((2, cond_dim)) if cond_dim else None
+    params = critic.init(jax.random.key(0), x0, cond0)["params"]
+
+    def d_apply(p, x, cond):
+        return critic.apply({"params": p}, x, cond)
+
+    key = jax.random.key(3)
+    real = jax.random.normal(jax.random.key(4), (4, level, level, m.n_tiles))
+    fake = jax.random.normal(jax.random.key(5), (4, level, level, m.n_tiles))
+    cond = (jax.random.normal(jax.random.key(6), (4, cond_dim))
+            if cond_dim else None)
+
+    gp_fused = make_gradient_penalty(m)
+    v_f = float(gp_fused(d_apply, params, key, real, fake, cond))
+    v_x = float(gradient_penalty(d_apply, params, key, real, fake, cond))
+    np.testing.assert_allclose(v_f, v_x, rtol=1e-4)
+
+    g_f = jax.grad(lambda p: gp_fused(d_apply, p, key, real, fake, cond))(
+        params)
+    g_x = jax.grad(lambda p: gradient_penalty(
+        d_apply, p, key, real, fake, cond))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5), g_f, g_x)
+
+
+def test_fused_gp_routing():
+    """Stage-(c) scope gate: 64x64 and the track family fall back to the
+    stage-(b) penalty-core kernel."""
+    from levelgan.kernels.critic_grad import (fused_supported,
+                                              make_gradient_penalty)
+
+    assert fused_supported(_critic_cfg(16))
+    assert fused_supported(_critic_cfg(32))
+    m64 = _critic_cfg(64)
+    assert not fused_supported(m64)
+    assert make_gradient_penalty(m64) is gradient_penalty_pallas
+
+
 @pytest.mark.slow
 def test_wgan_step_with_pallas_gp():
     """End-to-end: WGAN-GP step runs with use_pallas (Pallas GP core +

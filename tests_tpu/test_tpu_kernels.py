@@ -30,34 +30,71 @@ GUMBEL64_STAGES = [(64, 4, 512, 256), (64, 8, 256, 128),
                    (64, 16, 128, 64), (64, 32, 64, 32)]
 
 
+# f32 parity runs under matmul precision 'highest' (6-pass f32 on the MXU):
+# at DEFAULT precision both XLA convs and Pallas dots round inputs to bf16,
+# so XLA-vs-Pallas diffs are dominated by ~0.4% MXU rounding noise instead
+# of kernel bugs.  Measured on-chip: highest precision closes K1 fwd parity
+# from 2e-2 max-abs to 3e-6.
+
+
 @pytest.mark.parametrize("b,h,ci,co", GUMBEL64_STAGES)
 def test_k1_forward_parity_on_tpu(b, h, ci, co):
     x, w, gamma, beta = _stage_io(b, h, ci, co)
-    f_x = jax.jit(lambda *a: upsample_block_xla(
-        *a, group_size=16, compute_dtype=jnp.float32))
-    f_p = jax.jit(lambda *a: upsample_block_pallas(
-        *a, group_size=16, compute_dtype=jnp.float32))
-    y_x = np.asarray(f_x(x, w, gamma, beta))
-    y_p = np.asarray(f_p(x, w, gamma, beta))
+    with jax.default_matmul_precision("highest"):
+        f_x = jax.jit(lambda *a: upsample_block_xla(
+            *a, group_size=16, compute_dtype=jnp.float32))
+        f_p = jax.jit(lambda *a: upsample_block_pallas(
+            *a, group_size=16, compute_dtype=jnp.float32))
+        y_x = np.asarray(f_x(x, w, gamma, beta))
+        y_p = np.asarray(f_p(x, w, gamma, beta))
     np.testing.assert_allclose(y_p, y_x, atol=2e-3, rtol=2e-3)
+
+
+def _k1_grads(fn, x, w, gamma, beta, dtype):
+    def loss(x, w, g, bb):
+        y = fn(x, w, g, bb, group_size=16, compute_dtype=dtype)
+        return (y.astype(jnp.float32) ** 2).mean()
+    return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(x, w, gamma, beta)
 
 
 @pytest.mark.parametrize("b,h,ci,co", GUMBEL64_STAGES)
 def test_k1_backward_parity_on_tpu(b, h, ci, co):
+    from levelgan.kernels.upsample_block import pallas_fits
+
     x, w, gamma, beta = _stage_io(b, h, ci, co)
+    if pallas_fits(b, h, h, ci, co, jnp.float32):
+        with jax.default_matmul_precision("highest"):
+            gx = _k1_grads(upsample_block_xla, x, w, gamma, beta, jnp.float32)
+            gp = _k1_grads(upsample_block_pallas, x, w, gamma, beta,
+                           jnp.float32)
+            for i, (a, bb) in enumerate(zip(gx, gp)):
+                np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                           atol=5e-3, rtol=5e-3,
+                                           err_msg=f"arg {i}")
+    else:
+        # f32 at the widest stage exceeds Mosaic's 16MB scoped-vmem cap
+        # even at bt=1 (measured 17.65M) — the guarantee-run fallback must
+        # route to XLA; the SHIPPED bf16 kernel is covered below.
+        assert (b, h, ci, co) == (64, 32, 64, 32)
 
-    def grads(fn):
-        def loss(x, w, g, bb):
-            y = fn(x, w, g, bb, group_size=16, compute_dtype=jnp.float32)
-            return (y ** 2).mean()
-        return jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(
-            x, w, gamma, beta)
 
-    gx = grads(upsample_block_xla)
-    gp = grads(upsample_block_pallas)
+def test_k1_backward_parity_widest_stage_bf16():
+    """The widest gumbel_64 stage in the SHIPPED bf16 dtype — the shape
+    whose f32 variant cannot fit scoped VMEM.  Mosaic-compiled (no
+    'highest' wrapper: Mosaic rejects fp32-precision matmul on bf16
+    operands); tolerances at bf16 rounding scale."""
+    from levelgan.kernels.upsample_block import pallas_fits
+
+    b, h, ci, co = 64, 32, 64, 32
+    assert pallas_fits(b, h, h, ci, co, jnp.bfloat16)
+    x, w, gamma, beta = _stage_io(b, h, ci, co)
+    gx = _k1_grads(upsample_block_xla, x, w, gamma, beta, jnp.bfloat16)
+    gp = _k1_grads(upsample_block_pallas, x, w, gamma, beta, jnp.bfloat16)
     for i, (a, bb) in enumerate(zip(gx, gp)):
-        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
-                                   atol=5e-3, rtol=5e-3, err_msg=f"arg {i}")
+        a, bb = np.asarray(a, np.float32), np.asarray(bb, np.float32)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(bb / scale, a / scale, atol=4e-2,
+                                   err_msg=f"arg {i}")
 
 
 def test_k2_penalty_parity_on_tpu():
@@ -81,6 +118,100 @@ def test_k2_penalty_parity_on_tpu():
     go = np.asarray(jax.jit(jax.grad(
         lambda g: (oracle(g) * w).sum()))(g2))
     np.testing.assert_allclose(gp_, go, atol=1e-3, rtol=1e-3)
+
+
+def _fused_critic_grad_parity(m, tol):
+    from levelgan.kernels.critic_grad import (fused_supported,
+                                              make_critic_input_grad)
+    from levelgan.models import Critic
+
+    assert fused_supported(m), "preset fell out of stage-(c) scope"
+    critic = Critic(m)
+    x0 = jnp.zeros((2, m.level_size, m.level_size, m.n_tiles))
+    params = critic.init(jax.random.key(0), x0)["params"]
+    x = jax.random.normal(
+        jax.random.key(1), (64, m.level_size, m.level_size, m.n_tiles))
+
+    # 'highest' matmul precision only for f32: Mosaic rejects
+    # fp32-contract-precision matmuls on bf16 operands ("Bad lhs type")
+    import contextlib
+    prec = (jax.default_matmul_precision("highest")
+            if m.dtype == "float32" else contextlib.nullcontext())
+    with prec:
+        g_f = np.asarray(jax.jit(make_critic_input_grad(m))(params, x, None),
+                         dtype=np.float32)
+        g_o = np.asarray(jax.jit(jax.grad(lambda xx: critic.apply(
+            {"params": params}, xx).astype(jnp.float32).sum()))(x),
+                         dtype=np.float32)
+    scale = max(np.abs(g_o).max(), 1e-3)
+    np.testing.assert_allclose(g_f / scale, g_o / scale, atol=tol)
+
+
+def test_k2_fused_critic_grad_parity_on_tpu_f32():
+    """Stage-(c) fused critic kernel via Mosaic at f32, curriculum-16 critic
+    scale (the 32x32 critic at f32 exceeds the VMEM budget and routes to
+    stage (b) — asserted below), vs jax.grad through the XLA twin.  f32 +
+    highest precision isolates kernel bugs from MXU rounding."""
+    m = preset("curriculum_16").override(**{"model.dtype": "float32"}).model
+    _fused_critic_grad_parity(m, tol=2e-3)
+
+
+def test_k2_fused_critic_grad_parity_on_tpu_bf16():
+    """Stage-(c) fused kernel at the SHIPPED wgan_gp_32 scale and dtype
+    (bf16, batch 64).
+
+    bf16-vs-bf16 elementwise parity is ill-posed at the tail: LeakyReLU's
+    derivative is discontinuous, so when a pre-activation rounds to
+    opposite signs in two bf16 computation orders, that element's gradient
+    legitimately differs by the 5x slope ratio (measured: 0.5% of elements
+    out at ~8% of max scale).  The principled gate is oracle-relative: the
+    fused kernel must sit no farther from the f32 XLA oracle than the bf16
+    XLA twin does."""
+    from levelgan.kernels.critic_grad import (fused_supported,
+                                              make_critic_input_grad)
+    from levelgan.models import Critic
+
+    m = preset("wgan_gp_32").model
+    assert m.dtype == "bfloat16" and fused_supported(m)
+    m32 = preset("wgan_gp_32").override(**{"model.dtype": "float32"}).model
+    critic16, critic32 = Critic(m), Critic(m32)
+    x0 = jnp.zeros((2, m.level_size, m.level_size, m.n_tiles))
+    params = critic16.init(jax.random.key(0), x0)["params"]
+    x = jax.random.normal(
+        jax.random.key(1), (64, m.level_size, m.level_size, m.n_tiles))
+
+    def xla_grad(critic):
+        return jax.jit(jax.grad(lambda xx: critic.apply(
+            {"params": params}, xx).astype(jnp.float32).sum()))(x)
+
+    g_pallas = np.asarray(jax.jit(make_critic_input_grad(m))(params, x, None),
+                          dtype=np.float32)
+    g_twin = np.asarray(xla_grad(critic16), dtype=np.float32)
+    with jax.default_matmul_precision("highest"):
+        g_oracle = np.asarray(xla_grad(critic32), dtype=np.float32)
+
+    err_pallas = np.abs(g_pallas - g_oracle)
+    err_twin = np.abs(g_twin - g_oracle)
+    scale = np.abs(g_oracle).max()
+    # bulk accuracy: 99.9% of elements within bf16 noise of the oracle
+    assert np.quantile(err_pallas, 0.999) <= max(
+        1.5 * np.quantile(err_twin, 0.999), 2e-2 * scale)
+    # tail (mask-flip) magnitude comparable to the twin's own tail
+    assert err_pallas.max() <= max(1.5 * err_twin.max(), 5e-2 * scale)
+    # and the overall error mass is no worse than the twin's
+    assert err_pallas.mean() <= 1.5 * err_twin.mean() + 1e-4 * scale
+
+
+def test_k2_fused_vmem_gate_on_tpu():
+    """The 32x32 critic at f32 must be routed to stage (b), not raise at
+    trace time (the round-2 tier failure)."""
+    from levelgan.kernels.critic_grad import (fused_supported,
+                                              make_gradient_penalty)
+    from levelgan.kernels.gp_penalty import gradient_penalty_pallas
+
+    m = preset("wgan_gp_32").override(**{"model.dtype": "float32"}).model
+    assert not fused_supported(m)
+    assert make_gradient_penalty(m) is gradient_penalty_pallas
 
 
 def _one_pallas_step(preset_name, n_steps=2):
