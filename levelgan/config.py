@@ -43,6 +43,18 @@ class ModelConfig:
     critic_base_channels: int = 64
     dtype: str = "bfloat16"       # activation dtype on TPU; params stay f32
     use_pallas: bool = False      # swap XLA fallback blocks for Pallas kernels
+    # K2 gradient-penalty implementation when use_pallas=True:
+    #   'auto'  — pick the fastest measured variant for this shape
+    #   'fused' — stage-(c) fused critic-forward+input-grad kernel
+    #   'core'  — stage-(b) penalty-core kernel around an XLA inner grad
+    #   'xla'   — pure-XLA oracle path (K1 stays Pallas)
+    pallas_gp: str = "auto"
+
+    def __post_init__(self):
+        if self.pallas_gp not in ("auto", "fused", "core", "xla"):
+            raise ValueError(
+                f"model.pallas_gp must be 'auto'|'fused'|'core'|'xla', "
+                f"got {self.pallas_gp!r}")
 
 
 @dataclass(frozen=True)

@@ -418,14 +418,30 @@ def fused_supported(mcfg) -> bool:
 
 
 def make_gradient_penalty(mcfg):
-    """GP implementation picker for ``use_pallas=True``: stage (c) fused
-    critic-gradient kernel where supported, stage (b) penalty core elsewhere.
+    """GP implementation picker for ``use_pallas=True``, honoring
+    ``mcfg.pallas_gp`` ('auto'|'fused'|'core'|'xla').
+
+    'auto' measurement note (dev v5e, BASELINE.md K2 table): in TRAINING the
+    outer double-backward dominates and stage (c)'s custom_vjp cannot share
+    residuals with its fused forward, so it does strictly more work per
+    critic iteration than the one XLA graph the oracle compiles to; stage
+    (b) fuses only the tiny penalty core.  'auto' therefore picks the
+    XLA-oracle GP path (K1 stays Pallas) — the fused stage-(c) kernel
+    remains the right call for inference-style uses (inner gradient alone,
+    no double backward) and stays selectable as 'fused'.
     Signature-compatible with ``ops.grad_penalty.gradient_penalty``."""
     from levelgan.kernels.gp_penalty import (gradient_penalty_pallas,
                                              norm_penalty)
-    from levelgan.ops.grad_penalty import interpolate
+    from levelgan.ops.grad_penalty import gradient_penalty, interpolate
 
-    if not fused_supported(mcfg):
+    choice = getattr(mcfg, "pallas_gp", "auto")
+    if choice == "xla" or choice == "auto":
+        return gradient_penalty
+    if choice == "core" or (choice == "fused" and not fused_supported(mcfg)):
+        if choice == "fused":
+            raise ValueError(
+                "model.pallas_gp='fused' but the stage-(c) kernel does not "
+                "support this critic shape; use 'core' or 'auto'")
         return gradient_penalty_pallas
 
     grad_fn = make_critic_input_grad(mcfg)

@@ -153,8 +153,12 @@ def test_fused_gp_value_and_double_backward(level, cond_dim):
 
 
 def test_fused_gp_routing():
-    """Stage-(c) scope gate: 64x64 and the track family fall back to the
-    stage-(b) penalty-core kernel."""
+    """pallas_gp picker semantics: 'auto' ships the measured-fastest XLA GP
+    (K1 stays Pallas), 'core'/'fused' select the kernels explicitly, and
+    'fused' on an unsupported shape (64x64) raises instead of silently
+    degrading."""
+    import dataclasses
+
     from levelgan.kernels.critic_grad import (fused_supported,
                                               make_gradient_penalty)
 
@@ -162,7 +166,17 @@ def test_fused_gp_routing():
     assert fused_supported(_critic_cfg(32))
     m64 = _critic_cfg(64)
     assert not fused_supported(m64)
-    assert make_gradient_penalty(m64) is gradient_penalty_pallas
+
+    assert make_gradient_penalty(m64) is gradient_penalty
+    assert make_gradient_penalty(_critic_cfg(32)) is gradient_penalty
+    core = dataclasses.replace(m64, pallas_gp="core")
+    assert make_gradient_penalty(core) is gradient_penalty_pallas
+    fused32 = dataclasses.replace(_critic_cfg(32), pallas_gp="fused")
+    assert callable(make_gradient_penalty(fused32))
+    with pytest.raises(ValueError, match="pallas_gp"):
+        make_gradient_penalty(dataclasses.replace(m64, pallas_gp="fused"))
+    with pytest.raises(ValueError, match="pallas_gp"):
+        dataclasses.replace(m64, pallas_gp="devise")
 
 
 @pytest.mark.slow

@@ -209,7 +209,8 @@ def test_k2_fused_vmem_gate_on_tpu():
                                               make_gradient_penalty)
     from levelgan.kernels.gp_penalty import gradient_penalty_pallas
 
-    m = preset("wgan_gp_32").override(**{"model.dtype": "float32"}).model
+    m = preset("wgan_gp_32").override(**{
+        "model.dtype": "float32", "model.pallas_gp": "core"}).model
     assert not fused_supported(m)
     assert make_gradient_penalty(m) is gradient_penalty_pallas
 

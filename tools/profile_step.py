@@ -72,6 +72,11 @@ def xplane_paths(trace_dir: str):
 
 def distill(trace_dir: str):
     """xplane -> {tool: parsed json} for the tools we can get."""
+    # The baked-in tensorboard_plugin_profile ships _pb2.py files generated
+    # by an older protoc than the installed runtime accepts with the C++
+    # backend; the documented workaround is the pure-Python implementation
+    # (slower parse, same output). Must be set before the first *_pb2 import.
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
     from tensorboard_plugin_profile.convert import raw_to_tool_data
 
     paths = xplane_paths(trace_dir)
