@@ -2,56 +2,71 @@
 
 Reference equivalent: the torch ``ConvTranspose2d -> BatchNorm2d -> ReLU``
 chain — 3 kernel launches + 2 HBM round-trips per generator stage
-(SURVEY.md K1 [NS]).  Here ONE kernel per stage computes:
+(SURVEY.md K1 [NS]).  Here ONE kernel per stage computes the transposed
+conv (zero-insertion-free parity decomposition, mapping derived + verified
+in ops.blocks.conv_transpose_2x_parity; PAPERS.md arXiv 2502.20493), the
+per-sample GroupNorm on the conv result while it is still in VMEM, and the
+LeakyReLU epilogue.
 
-  - the transposed conv via the zero-insertion-free kernel-segregated parity
-    decomposition (mapping derived + verified in
-    ops.blocks.conv_transpose_2x_parity; PAPERS.md arXiv 2502.20493):
-    16 dense MXU contractions [Bt*H*W, Ci] x [Ci, Co], one per
-    (parity, tap) — no multiplies against inserted zeros (a naive
-    lhs-dilated conv wastes ~4x MXU work at stride 2);
-  - per-sample GroupNorm on the conv result while it is still in VMEM.
-    Group stats are reduced with small channel->group membership matmuls
-    (Mosaic rejects minor-dim shape casts; the matmul form stays on the
-    MXU).  GroupNorm (not BatchNorm) was chosen exactly so the fused stats
-    need no cross-program reduction;
-  - LeakyReLU epilogue.
+SPATIAL-MAJOR layout (round-2 redesign).  Kernel activations are
+``[H, W, B, C]``: the tiled (sublane, lane) dims are (batch, channels) and
+both spatial dims are untiled outer dims.  The round-1 batch-major kernel
+emitted 4 separate parity buffers precisely because Mosaic cannot slice or
+concat at unaligned minor-dim offsets — and the trace-level profile
+(artifacts/profile_wgan_gp_32_pallas.*) showed XLA then spent ~0.4 ms/step
+re-interleaving them (pure layout copies) while the per-(parity, tap)
+matmuls ran ~16x under MXU capacity at the narrow stages.  Spatial-major
+fixes both structurally:
 
-Wire format: the kernel reads/writes each output PARITY as its own
-[B, H, W, Co] array (4 of them) — parity-separate buffers avoid the
-unaligned minor-dim slicing a packed [B, H, W, 4Co] layout would force on
-the backward's per-parity matmuls.  The final spatial interleave to
-[B, 2H, 2W, Co] is pure data movement done by XLA outside the kernel.
-GroupNorm/LeakyReLU commute with the interleave because both are
-per-channel/elementwise and the stats span the whole sample either way.
+  - parity split / merge are OUTER-dim reshapes + indexing (free vreg
+    addressing, no relayout) — the kernel emits the final interleaved
+    [2H, 2W, B, C] directly, so the XLA-side copies vanish;
+  - every conv tap is a unit-offset OUTER slice of the zero-padded input,
+    so taps can be regrouped freely into MXU-shaped contractions.
+
+Lane-packed contraction plan (``_plan``): output parities are concatenated
+along the matmul N (lane) dim so each contraction fills >=128 lanes even at
+the narrow co=32/64 stages:
+
+  co >= 128 : 16 per-(parity, tap) matmuls  [N, Ci] x [Ci, Co]   (1.0x FLOPs)
+  co ==  64 : 12 row-parity matmuls         [N, Ci] x [Ci, 2Co]  (1.5x FLOPs)
+  co <=  32 :  9 shift matmuls              [N, Ci] x [Ci, 4Co]  (2.25x FLOPs)
+
+using the identity (for parity (a, b), taps (r, s) in {0,1}^2, xp = pad(x)):
+
+    y[2i+a, 2j+b] = sum_{r,s} xp[i+a+r, j+b+s] @ w[a+2r, b+2s]
+
+so the shifted slice xp[u:u+H, v:v+W] contributes to parity (a, b) iff
+u-a and v-b are in {0,1}, with weight w[2u-a, 2v-b].  The packed weight
+matrices (structured zeros for the invalid (shift, parity) pairs) are
+assembled once per call in XLA (``_pack_weights``); the extra FLOPs at the
+narrow stages buy full MXU lanes, a strict win on the measured shapes.
 
 Backward (SURVEY.md:133 — "hand-written backward, itself a strided conv"):
-``jax.custom_vjp`` whose bwd is a SECOND fused Pallas kernel.  Residuals
-saved by fwd: the pre-norm conv parities y_p, the per-group stats
-(gmean, grstd) — NO forward rematerialization.  The bwd kernel fuses, in
-one VMEM pass per batch tile:
+``jax.custom_vjp`` whose bwd is a second fused Pallas kernel.  Residuals
+saved by fwd: the merged pre-norm conv output ``ypre`` (compute dtype) and
+the per-channel GroupNorm stats (mu_c, rstd_c) — NO forward
+rematerialization.  The bwd kernel fuses, per batch tile:
 
-  LeakyReLU bwd -> GroupNorm bwd (classic rstd*(dxhat - mean_g(dxhat)
-  - xn*mean_g(dxhat*xn)) with the group means via membership matmuls)
+  LeakyReLU bwd -> GroupNorm bwd (rstd * (dxhat - mean_g(dxhat)
+  - xn * mean_g(dxhat * xn)), group means via membership matmuls)
   -> the transposed-conv INPUT gradient dx as 16 per-tap MXU matmuls in
   gather form:
 
-      dx[u,v] = sum_{p=(a,b), r,s} dyp_p[u + 2-a-r, v + 2-b-s] @ w[a+2r, b+2s]^T
+      dx[u, v] = sum_{(a,b),r,s} dyp_(a,b)[u+2-a-r, v+2-b-s] @ w[a+2r, b+2s]^T
 
-  (dyp_p = dy_p zero-padded by 1; the offset algebra is the exact
-  transpose of the forward mapping y[2i+a,2j+b] = sum xp[i+a+r, j+b+s]
-  w[a+2r,b+2s], verified against jax.vjp of the XLA twin in
-  tests/test_kernels.py.)
-
-It also emits dgamma/dbeta (accumulated across batch-tile grid programs)
-and the per-parity dy_p cotangents, from which the WEIGHT gradient
-dw[a+2r,b+2s] = xp_tap^T @ dy_p is formed by XLA per-tap matmuls outside
-the kernel (a 4*4*Ci*Co f32 VMEM accumulator would not fit beside the
-working set at the widest stage; XLA runs these dense contractions at MXU
-roofline anyway).
+  (dyp = parity-split of the GN-bwd cotangent, zero-padded by 1; the exact
+  transpose of the forward mapping, parity-tested against jax.vjp of the
+  XLA twin in tests/test_kernels.py.)  It also emits dgamma/dbeta
+  (accumulated across batch-tile grid programs) and the merged pre-norm
+  cotangent ``dy`` from which the weight gradient
+  dw[a+2r, b+2s] = xp_tap^T @ dy_(a,b) is formed by XLA per-tap matmuls
+  outside the kernel (dense contractions XLA runs at MXU roofline; a
+  [4,4,Ci,Co] f32 VMEM accumulator would crowd the fused working set).
 
 Oracle: ``ops.blocks.upsample_block_xla`` (the permanent correctness
-reference, SURVEY.md §7.3/N19) — parity-tested fwd and bwd.
+reference, SURVEY.md §7.3/N19) — parity-tested fwd and bwd on CPU
+(interpret) and on the real chip (tests_tpu/).
 """
 
 from __future__ import annotations
@@ -77,9 +92,9 @@ def _lane_pad(n: int) -> int:
     return -(-n // 128) * 128
 
 
-def _blk(bt, h, w, c, itemsize):
-    """VMEM bytes of one [bt, h, w, c] block after (8, 128) tile padding."""
-    return bt * h * _sublane_pad(w) * _lane_pad(c) * itemsize
+def _blk(h: int, w: int, bt: int, c: int, itemsize: int) -> int:
+    """VMEM bytes of one spatial-major [h, w, bt, c] block after tiling."""
+    return h * w * _sublane_pad(bt) * _lane_pad(c) * itemsize
 
 
 def _pick_batch_tile(b: int, usage_fn) -> int:
@@ -99,203 +114,249 @@ def _membership(co: int, groups: int):
 
 
 # --------------------------------------------------------------------------
+# lane-packing plan + weight packing
+# --------------------------------------------------------------------------
+
+def _plan(co: int):
+    """Group output parities into lane-concatenated accumulators.
+
+    Returns a tuple of groups; each group is (parities, shifts) with
+    ``parities`` the output parities whose columns are concatenated in that
+    accumulator and ``shifts`` the (u, v) offsets into the padded input that
+    feed it.  Smallest packing whose lane width reaches 128 (FLOPs overhead
+    only where it buys MXU lanes)."""
+    if co >= 128:        # per-(parity, tap): 16 matmuls, minimal FLOPs
+        return tuple(
+            (((a, b),), tuple((a + r, b + s) for r in (0, 1) for s in (0, 1)))
+            for a, b in _PARITIES)
+    if co >= 64:         # pack column parity b: 12 matmuls at 2Co lanes
+        return tuple(
+            (((a, 0), (a, 1)),
+             tuple((a + r, v) for r in (0, 1) for v in (0, 1, 2)))
+            for a in (0, 1))
+    # pack both parities: 9 matmuls at 4Co lanes
+    return ((_PARITIES,
+             tuple((u, v) for u in (0, 1, 2) for v in (0, 1, 2))),)
+
+
+def _mm_index(plan):
+    """Static (group, u, v) list, one entry per packed matmul."""
+    return tuple((g, u, v) for g, (_pars, shifts) in enumerate(plan)
+                 for (u, v) in shifts)
+
+
+def _pack_weights(w, plan, cdt):
+    """w [4,4,Ci,Co] -> stacked packed matrices [n_mm, Ci, L*Co] (XLA-side).
+
+    Column group (a, b) of the matrix for shift (u, v) is w[2u-a, 2v-b]
+    when 0 <= u-a <= 1 and 0 <= v-b <= 1, else zeros — the forward tap
+    identity in the module docstring."""
+    ci, co = w.shape[2], w.shape[3]
+    wc = w.astype(cdt)
+    zero = jnp.zeros((ci, co), cdt)
+    mats = []
+    for pars, shifts in plan:
+        for u, v in shifts:
+            cols = [wc[2 * u - a, 2 * v - b]
+                    if 0 <= u - a <= 1 and 0 <= v - b <= 1 else zero
+                    for (a, b) in pars]
+            mats.append(cols[0] if len(cols) == 1
+                        else jnp.concatenate(cols, axis=1))
+    return jnp.stack(mats, axis=0)
+
+
+def _merge(ys):
+    """{parity: [h, w, bt, c]} -> [2h, 2w, bt, c] (outer stack + reshape)."""
+    rows = [jnp.stack([ys[(a, 0)], ys[(a, 1)]], axis=2) for a in (0, 1)]
+    y = jnp.stack(rows, axis=1)                  # [h, 2, w, 2, bt, c]
+    h, _, w, _, bt, c = y.shape
+    return y.reshape(2 * h, 2 * w, bt, c)
+
+
+# --------------------------------------------------------------------------
 # forward kernel
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(xp_ref, w_ref, gamma_ref, beta_ref, *out_refs,
-                h, w, ci, co, groups, slope, eps, out_dtype, residuals):
-    bt = xp_ref.shape[0]
+def _fwd_kernel(x_ref, wpk_ref, gamma_ref, beta_ref, *out_refs,
+                h, w, ci, co, groups, slope, eps, out_dtype, plan,
+                residuals):
+    bt = x_ref.shape[2]
+    n = h * w * bt
     gs = co // groups
 
-    # --- per-(parity, tap) contractions on the MXU ------------------------
-    # (Mosaic cannot concat/reshape offset-misaligned slices, so each
-    # shifted tap contracts separately and accumulates in f32; same total
-    # FLOPs as the fused-K form)
-    ys = []
-    for a, b in _PARITIES:
-        acc = None
-        for r in (0, 1):
-            for s in (0, 1):
-                tap = xp_ref[:, a + r:a + r + h, b + s:b + s + w, :]
-                part = jax.lax.dot_general(
-                    tap.reshape(bt * h * w, ci), w_ref[a + 2 * r, b + 2 * s],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acc = part if acc is None else acc + part
-        ys.append(acc.reshape(bt, h, w, co))
+    xp = jnp.pad(x_ref[:], ((1, 1), (1, 1), (0, 0), (0, 0)))
+
+    # --- packed MXU contractions (see module docstring) -------------------
+    accs = [None] * len(plan)
+    for k, (g, u, v) in enumerate(_mm_index(plan)):
+        tap = xp[u:u + h, v:v + w].reshape(n, ci)
+        part = jax.lax.dot_general(
+            tap, wpk_ref[k], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        accs[g] = part if accs[g] is None else accs[g] + part
+
+    # lane-unpack each accumulator back into per-parity f32 planes
+    ys = {}
+    for g, (pars, _shifts) in enumerate(plan):
+        for j, p in enumerate(pars):
+            ys[p] = jax.lax.slice_in_dim(
+                accs[g], j * co, (j + 1) * co, axis=1).reshape(h, w, bt, co)
 
     # --- per-sample GroupNorm: stats span (spatial x 4 parities x group) --
-    member = _membership(co, groups)            # [Co, G]
-    s1 = sum(jnp.sum(y, axis=(1, 2)) for y in ys)          # [Bt, Co]
-    s2 = sum(jnp.sum(y * y, axis=(1, 2)) for y in ys)
+    member = _membership(co, groups)             # [Co, G]
+    s1 = sum(jnp.sum(ys[p], axis=(0, 1)) for p in _PARITIES)   # [Bt, Co]
+    s2 = sum(jnp.sum(ys[p] * ys[p], axis=(0, 1)) for p in _PARITIES)
     cnt = 4.0 * gs * h * w
     gmean = jax.lax.dot_general(s1, member, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32) / cnt
     gm2 = jax.lax.dot_general(s2, member, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32) / cnt
-    grstd = jax.lax.rsqrt(gm2 - gmean * gmean + eps)       # [Bt, G]
+    grstd = jax.lax.rsqrt(gm2 - gmean * gmean + eps)           # [Bt, G]
     mu_c = jax.lax.dot_general(gmean, member.T, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     rstd_c = jax.lax.dot_general(grstd, member.T, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
 
-    gamma = gamma_ref[:].astype(jnp.float32)    # [1, Co] broadcasts
+    gamma = gamma_ref[:].astype(jnp.float32)     # [1, Co] broadcasts
     beta = beta_ref[:].astype(jnp.float32)
-    for p in range(4):
-        yn = (ys[p] - mu_c[:, None, None, :]) * rstd_c[:, None, None, :]
+    outs = {}
+    for p in _PARITIES:
+        yn = (ys[p] - mu_c[None, None]) * rstd_c[None, None]
         yn = yn * gamma + beta
-        out_refs[p][:] = jnp.where(yn >= 0, yn, slope * yn).astype(out_dtype)
+        outs[p] = jnp.where(yn >= 0, yn, slope * yn).astype(out_dtype)
+    out_refs[0][:] = _merge(outs)
     if residuals:
-        for p in range(4):
-            out_refs[4 + p][:] = ys[p].astype(out_dtype)
-        # per-CHANNEL stats as [Bt, 1, Co]: the (1, Co) tiled dims are always
-        # full-block, so any bt divides cleanly (a [Bt, G] block with bt < 8
-        # violates the (8, 128) tiling — the round-2 block-spec rejection)
-        out_refs[8][:] = mu_c[:, None, :]
-        out_refs[9][:] = rstd_c[:, None, :]
+        out_refs[1][:] = _merge({p: ys[p].astype(out_dtype)
+                                 for p in _PARITIES})
+        out_refs[2][:] = mu_c
+        out_refs[3][:] = rstd_c
 
 
 def _fwd_usage(bt, h, w, ci, co, itemsize):
     """Scoped-VMEM estimate for one fwd grid program at batch tile ``bt``.
 
-    Mosaic double-buffers the in/out blocks across grid iterations (x2);
-    internal values live once.  Lane padding to 128 matters at small co
-    (co=32 blocks occupy 4x their logical bytes — the round-2 OOM)."""
-    xp = _blk(bt, h + 2, w + 2, ci, itemsize)
-    wgt = 4 * 4 * _sublane_pad(ci) * _lane_pad(co) * itemsize
-    # 4 act + 4 residual parity blocks, plus two [Bt, 1, Co] f32 stat blocks
-    outs = (8 * _blk(bt, h, w, co, itemsize)
-            + 2 * bt * _sublane_pad(1) * _lane_pad(co) * 4)
-    ins_outs = 2 * (xp + wgt + outs)               # double-buffered
-    vals = 6 * _blk(bt, h, w, co, 4)               # 4x f32 ys + temporaries
-    return ins_outs + vals
+    Mosaic double-buffers grid-varying in/out blocks (x2); the constant
+    packed-weight block is resident once; internal values live once."""
+    plan = _plan(co)
+    n_mm = len(_mm_index(plan))
+    wpk_lanes = _lane_pad(len(plan[0][0]) * co)
+    acc_lanes = sum(_lane_pad(len(pars) * co) for pars, _ in plan)
+    x = _blk(h, w, bt, ci, itemsize)
+    wpk = n_mm * _sublane_pad(ci) * wpk_lanes * itemsize
+    outs = 2 * _blk(2 * h, 2 * w, bt, co, itemsize) \
+        + 2 * _sublane_pad(bt) * _lane_pad(co) * 4
+    # values: padded input + the f32 accumulators + per-parity f32 planes
+    # (ys, normalized) + the merged cdt staging values
+    vals = (_blk(h + 2, w + 2, bt, ci, itemsize)
+            + h * w * _sublane_pad(bt) * acc_lanes * 4
+            + 6 * _blk(h, w, bt, co, 4)
+            + 2 * _blk(2 * h, 2 * w, bt, co, itemsize))
+    return 2 * (x + outs) + wpk + vals
 
 
 def _forward(x, w, gamma, beta, *, slope, group_size, compute_dtype,
              residuals):
-    b, h, ww, ci = x.shape
+    h, ww, b, ci = x.shape
     co = w.shape[-1]
     groups = max(1, co // group_size)
     if co % groups:
-        raise ValueError(f"channels {co} not divisible into groups of {group_size}")
+        raise ValueError(
+            f"channels {co} not divisible into groups of {group_size}")
     cdt = jnp.dtype(compute_dtype)
-    xp = jnp.pad(x.astype(cdt), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    plan = _plan(co)
+    wpk = _pack_weights(w, plan, cdt)
     bt = _pick_batch_tile(
         b, lambda t: _fwd_usage(t, h, ww, ci, co, cdt.itemsize))
-    gamma2 = gamma.astype(jnp.float32)[None, :]
-    beta2 = beta.astype(jnp.float32)[None, :]
 
     kern = functools.partial(
-        _fwd_kernel, h=h, w=ww, ci=ci, co=co, groups=groups,
-        slope=slope, eps=1e-5, out_dtype=cdt, residuals=residuals)
-    par_spec = pl.BlockSpec((bt, h, ww, co), lambda i: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    par_shape = jax.ShapeDtypeStruct((b, h, ww, co), cdt)
-    out_shape = [par_shape] * 4
-    out_specs = [par_spec] * 4
+        _fwd_kernel, h=h, w=ww, ci=ci, co=co, groups=groups, slope=slope,
+        eps=1e-5, out_dtype=cdt, plan=plan, residuals=residuals)
+    y_spec = pl.BlockSpec((2 * h, 2 * ww, bt, co), lambda i: (0, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    y_shape = jax.ShapeDtypeStruct((2 * h, 2 * ww, b, co), cdt)
+    stat_spec = pl.BlockSpec((bt, co), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs, out_shape = [y_spec], [y_shape]
     if residuals:
-        out_shape += [par_shape] * 4 + [
-            jax.ShapeDtypeStruct((b, 1, co), jnp.float32)] * 2
-        out_specs += [par_spec] * 4 + [
-            pl.BlockSpec((bt, 1, co), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)] * 2
+        out_specs += [y_spec, stat_spec, stat_spec]
+        out_shape += [y_shape,
+                      jax.ShapeDtypeStruct((b, co), jnp.float32),
+                      jax.ShapeDtypeStruct((b, co), jnp.float32)]
     outs = pl.pallas_call(
         kern,
         grid=(b // bt,),
         in_specs=[
-            pl.BlockSpec((bt, h + 2, ww + 2, ci), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((h, ww, bt, ci), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 4, ci, co), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wpk.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=32 * b * h * ww * ci * co,
-            bytes_accessed=(xp.size * cdt.itemsize + w.size * cdt.itemsize
-                            + (8 if residuals else 4) * b * h * ww * co
-                            * cdt.itemsize),
+            flops=2 * wpk.shape[0] * b * h * ww * ci * wpk.shape[-1],
+            bytes_accessed=(x.size * cdt.itemsize + wpk.size * cdt.itemsize
+                            + (2 if residuals else 1)
+                            * 4 * b * h * ww * co * cdt.itemsize),
             transcendentals=0),
         interpret=(jax.default_backend() == "cpu"),
-    )(xp, w.astype(cdt), gamma2, beta2)
+    )(x.astype(cdt), wpk, gamma.astype(jnp.float32)[None, :],
+      beta.astype(jnp.float32)[None, :])
 
-    acts = outs[:4]
-    y = _interleave(acts)
     if residuals:
-        return y, tuple(outs[4:8]), outs[8], outs[9]
-    return y
-
-
-def _interleave(parities):
-    """4x [B,H,W,Co] parity blocks (order (a,b) row-major) -> [B,2H,2W,Co]."""
-    a0 = jnp.stack(parities[:2], axis=3)        # [B,H,W,2(b),Co]
-    a1 = jnp.stack(parities[2:], axis=3)
-    y = jnp.stack([a0, a1], axis=2)             # [B,H,2(a),W,2(b),Co]
-    b, h, _, w, _, co = y.shape
-    return y.reshape(b, 2 * h, 2 * w, co)
-
-
-def _deinterleave(g):
-    """[B,2H,2W,Co] -> 4x [B,H,W,Co] parity blocks (order (a,b) row-major)."""
-    b, h2, w2, co = g.shape
-    g = g.reshape(b, h2 // 2, 2, w2 // 2, 2, co)
-    return [g[:, :, a, :, bb, :] for a, bb in _PARITIES]
+        return outs[0], outs[1], outs[2], outs[3]
+    return outs[0]
 
 
 # --------------------------------------------------------------------------
 # backward kernel: fused LeakyReLU bwd + GroupNorm bwd + conv-transpose dx
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(w_ref, gamma_ref, beta_ref, mu_ref, rstd_ref,
-                g0, g1, g2, g3, y0, y1, y2, y3,
-                dx_ref, dy0, dy1, dy2, dy3, dgamma_ref, dbeta_ref,
-                pad_ref, *,
+def _bwd_kernel(w_ref, gamma_ref, beta_ref, mu_ref, rstd_ref, g_ref,
+                ypre_ref, dx_ref, dy_ref, dgamma_ref, dbeta_ref, *,
                 h, w, ci, co, groups, slope, out_dtype):
-    g_refs = (g0, g1, g2, g3)
-    y_refs = (y0, y1, y2, y3)
-    dy_refs = (dy0, dy1, dy2, dy3)
-    bt = g0.shape[0]
+    bt = g_ref.shape[2]
     gs = co // groups
+    n = h * w * bt
 
-    member = _membership(co, groups)            # [Co, G]
-    # residual stats arrive per-channel [Bt, 1, Co] -> broadcastable 4-D
-    mu_b = mu_ref[:][:, None, :, :]             # [Bt, 1, 1, Co]
-    rstd_b = rstd_ref[:][:, None, :, :]
-    gamma = gamma_ref[:].astype(jnp.float32)    # [1, Co]
+    member = _membership(co, groups)             # [Co, G]
+    gamma = gamma_ref[:].astype(jnp.float32)     # [1, Co]
     beta = beta_ref[:].astype(jnp.float32)
+    mu_b = mu_ref[:][None, None]                 # [1, 1, Bt, Co]
+    rstd_b = rstd_ref[:][None, None]
 
-    def relu_gn_locals(p):
-        # Recomputed in each phase rather than kept alive across phases:
-        # holding xn/dout for all 4 parities costs 8 f32 blocks of VMEM —
-        # the scoped-vmem OOM the real-TPU tier caught at the widest f32
-        # stage (h=32, 17.9M > the 16M hard limit).  Recompute is a few
-        # VPU ops against MXU-dominated phases.
-        y = y_refs[p][:].astype(jnp.float32)
+    # parity views of the merged blocks: outer-dim reshape + index (free)
+    g_r = g_ref[:].reshape(h, 2, w, 2, bt, co)
+    y_r = ypre_ref[:].reshape(h, 2, w, 2, bt, co)
+
+    def relu_gn_locals(a, b):
+        # Recomputed per phase instead of kept live for all 4 parities:
+        # the working set stays ~1 parity plane of f32 temporaries (the
+        # round-2 scoped-vmem lesson from the real-TPU tier).
+        y = y_r[:, a, :, b].astype(jnp.float32)
         xn = (y - mu_b) * rstd_b
         outv = xn * gamma + beta
-        gp = g_refs[p][:].astype(jnp.float32)
+        gp = g_r[:, a, :, b].astype(jnp.float32)
         dout = jnp.where(outv >= 0, gp, slope * gp)
         return xn, dout
 
-    # --- LeakyReLU bwd + stats sums, per parity ---------------------------
+    # --- LeakyReLU bwd + stat sums, per parity ---------------------------
     s1 = jnp.zeros((bt, co), jnp.float32)
     s2 = jnp.zeros((bt, co), jnp.float32)
-    for p in range(4):
-        xn, dout = relu_gn_locals(p)
-        s1 = s1 + jnp.sum(dout, axis=(1, 2))
-        s2 = s2 + jnp.sum(dout * xn, axis=(1, 2))
+    for a, b in _PARITIES:
+        xn, dout = relu_gn_locals(a, b)
+        s1 = s1 + jnp.sum(dout, axis=(0, 1))
+        s2 = s2 + jnp.sum(dout * xn, axis=(0, 1))
 
     # --- affine grads, accumulated across batch-tile grid programs -------
     @pl.when(pl.program_id(0) == 0)
     def _():
         dgamma_ref[:] = jnp.zeros((1, co), jnp.float32)
         dbeta_ref[:] = jnp.zeros((1, co), jnp.float32)
-    # batch reduction as a ones-row matmul: jnp.sum(axis=0, keepdims=True)
-    # yields a sublane-replicated layout Mosaic cannot relayout for the
-    # accumulate-store ("Invalid relayout ... replicated in destination"),
-    # while an MXU contraction lands in a standard layout
+    # batch reduction as a ones-row matmul: a keepdims jnp.sum lands in a
+    # sublane-replicated layout Mosaic cannot relayout for the
+    # accumulate-store; the MXU contraction lands in a standard layout
     ones_row = jnp.ones((1, bt), jnp.float32)
     dgamma_ref[:] += jax.lax.dot_general(
         ones_row, s2, (((1,), (0,)), ((), ())),
@@ -304,132 +365,130 @@ def _bwd_kernel(w_ref, gamma_ref, beta_ref, mu_ref, rstd_ref,
         ones_row, s1, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    # --- GroupNorm bwd: dy = rstd * (dxhat - m1 - xn * m2) ----------------
-    # with m1 = mean_g(dxhat), m2 = mean_g(dxhat * xn), dxhat = dout*gamma;
-    # group means via membership matmuls (gamma varies inside a group, so
-    # fold it in before the group-sum).
+    # --- GroupNorm bwd means: m = mean_g(dxhat), mean_g(dxhat * xn) -------
+    # dxhat = dout * gamma; gamma varies inside a group so it folds into the
+    # summed stats before the group reduction.
     cnt = 4.0 * gs * h * w
-    m1c = jax.lax.dot_general(
-        jax.lax.dot_general(s1 * gamma, member, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) / cnt,
-        member.T, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)     # [Bt, Co]
-    m2c = jax.lax.dot_general(
-        jax.lax.dot_general(s2 * gamma, member, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) / cnt,
-        member.T, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+
+    def gmean_c(s):
+        gm = jax.lax.dot_general(s, member, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) / cnt
+        return jax.lax.dot_general(gm, member.T, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    m1c = gmean_c(s1 * gamma)[None, None]        # [1, 1, Bt, Co]
+    m2c = gmean_c(s2 * gamma)[None, None]
 
     # --- GN bwd + conv-transpose dx, one parity at a time -----------------
-    # dx[u,v] = sum_{(a,b),r,s} dyp_(a,b)[u + 2-a-r, v + 2-b-s] @ w[a+2r,b+2s]^T
+    # dx[u,v] = sum_{(a,b),r,s} dyp_(a,b)[u+2-a-r, v+2-b-s] @ w[a+2r,b+2s]^T
     acc = None
-    for p, (a, b) in enumerate(_PARITIES):
-        xn, dout = relu_gn_locals(p)
-        dy = rstd_b * (
-            dout * gamma - m1c[:, None, None, :]
-            - xn * m2c[:, None, None, :])
+    dys = {}
+    for a, b in _PARITIES:
+        xn, dout = relu_gn_locals(a, b)
+        dy = rstd_b * (dout * gamma - m1c - xn * m2c)
         dyc = dy.astype(out_dtype)
-        dy_refs[p][:] = dyc
-        # stage the zero-padded cotangent in a VMEM scratch REF: the dx
-        # taps below then read ref slices at sublane offsets 0..2 — the
-        # exact access pattern the fwd kernel uses on xp_ref (Mosaic
-        # handles offset ref reads; offset VALUE slices it does not).
-        # ONE scratch buffer reused across parities: the 4 taps of parity p
-        # are consumed before parity p+1 overwrites it (3 fewer padded
-        # blocks resident).
-        pad_ref[:] = jnp.pad(dyc, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        dys[(a, b)] = dyc
+        dyp = jnp.pad(dyc, ((1, 1), (1, 1), (0, 0), (0, 0)))
         for r in (0, 1):
             for s in (0, 1):
                 ro, cofs = 2 - a - r, 2 - b - s
-                tap = pad_ref[:, ro:ro + h, cofs:cofs + w, :]
+                tap = dyp[ro:ro + h, cofs:cofs + w].reshape(n, co)
                 part = jax.lax.dot_general(
-                    tap.reshape(bt * h * w, co), w_ref[a + 2 * r, b + 2 * s],
+                    tap, w_ref[a + 2 * r, b + 2 * s],
                     (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [N, Ci]
+                    preferred_element_type=jnp.float32)        # [N, Ci]
                 acc = part if acc is None else acc + part
-    dx_ref[:] = acc.reshape(bt, h, w, ci).astype(out_dtype)
+    dy_ref[:] = _merge(dys)
+    dx_ref[:] = acc.reshape(h, w, bt, ci).astype(out_dtype)
 
 
 def _bwd_usage(bt, h, w, ci, co, itemsize):
     """Scoped-VMEM estimate for one bwd grid program (same model as fwd)."""
-    wgt = 4 * 4 * _sublane_pad(ci) * _lane_pad(co) * itemsize
-    ins = 8 * _blk(bt, h, w, co, itemsize) + wgt
-    outs = _blk(bt, h, w, ci, itemsize) + 4 * _blk(bt, h, w, co, itemsize)
-    scratch = _blk(bt, h + 2, w + 2, co, itemsize)
-    # phase-local f32 values (xn/dout/dy of ONE parity + temporaries) plus
-    # the dx matmul accumulator
-    vals = 4 * _blk(bt, h, w, co, 4) + _blk(bt, h, w, ci, 4)
-    return 2 * (ins + outs) + scratch + vals
+    wgt = 16 * _sublane_pad(ci) * _lane_pad(co) * itemsize
+    ins = 2 * _blk(2 * h, 2 * w, bt, co, itemsize) \
+        + 2 * _sublane_pad(bt) * _lane_pad(co) * 4
+    outs = _blk(h, w, bt, ci, itemsize) + _blk(2 * h, 2 * w, bt, co, itemsize)
+    # phase-local f32 temporaries (xn/dout/dy of ONE parity), the 4 kept cdt
+    # dy parities + merged staging, the padded tap value, and the f32 dx
+    # accumulator
+    vals = (4 * _blk(h, w, bt, co, 4)
+            + 2 * _blk(2 * h, 2 * w, bt, co, itemsize)
+            + _blk(h + 2, w + 2, bt, co, itemsize)
+            + _blk(h, w, bt, ci, 4))
+    return 2 * (ins + outs) + wgt + vals
 
 
-def _backward(w, gamma, beta, mu3, rstd3, g_ps, y_ps, *,
+def _backward(w, gamma, beta, mu_c, rstd_c, g, ypre, *,
               slope, groups, compute_dtype):
-    b, h, ww, co = g_ps[0].shape
+    h2, w2, b, co = g.shape
+    h, ww = h2 // 2, w2 // 2
     ci = w.shape[2]
     cdt = jnp.dtype(compute_dtype)
     bt = _pick_batch_tile(
         b, lambda t: _bwd_usage(t, h, ww, ci, co, cdt.itemsize))
 
     kern = functools.partial(
-        _bwd_kernel, h=h, w=ww, ci=ci, co=co, groups=groups,
-        slope=slope, out_dtype=cdt)
-    par_spec = pl.BlockSpec((bt, h, ww, co), lambda i: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-    stat_spec = pl.BlockSpec((bt, 1, co), lambda i: (i, 0, 0),
+        _bwd_kernel, h=h, w=ww, ci=ci, co=co, groups=groups, slope=slope,
+        out_dtype=cdt)
+    y_spec = pl.BlockSpec((h2, w2, bt, co), lambda i: (0, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((bt, co), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     aff_spec = pl.BlockSpec((1, co), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    par_shape = jax.ShapeDtypeStruct((b, h, ww, co), cdt)
     outs = pl.pallas_call(
         kern,
         grid=(b // bt,),
         in_specs=[
             pl.BlockSpec((4, 4, ci, co), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            aff_spec, aff_spec, stat_spec, stat_spec,
-        ] + [par_spec] * 8,
-        out_specs=[pl.BlockSpec((bt, h, ww, ci), lambda i: (i, 0, 0, 0),
-                                memory_space=pltpu.VMEM)]
-        + [par_spec] * 4
-        + [pl.BlockSpec((1, co), lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((b, h, ww, ci), cdt)]
-        + [par_shape] * 4
-        + [jax.ShapeDtypeStruct((1, co), jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM((bt, h + 2, ww + 2, co), cdt)],
+            aff_spec, aff_spec, stat_spec, stat_spec, y_spec, y_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((h, ww, bt, ci), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            y_spec, aff_spec, aff_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, ww, b, ci), cdt),
+            jax.ShapeDtypeStruct((h2, w2, b, co), cdt),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=32 * b * h * ww * ci * co,
-            bytes_accessed=(13 * b * h * ww * co * cdt.itemsize
+            bytes_accessed=(9 * b * h * ww * co * cdt.itemsize
                             + b * h * ww * ci * cdt.itemsize
                             + w.size * cdt.itemsize),
             transcendentals=0),
         interpret=(jax.default_backend() == "cpu"),
     )(w.astype(cdt), gamma.astype(jnp.float32)[None, :],
-      beta.astype(jnp.float32)[None, :], mu3, rstd3, *g_ps, *y_ps)
-    dx, dy_ps, dgamma, dbeta = outs[0], outs[1:5], outs[5], outs[6]
-    return dx, dy_ps, dgamma[0], dbeta[0]
+      beta.astype(jnp.float32)[None, :], mu_c, rstd_c, g, ypre)
+    dx, dy, dgamma, dbeta = outs
+    return dx, dy, dgamma[0], dbeta[0]
 
 
-def _weight_grad(x, dy_ps, *, compute_dtype):
+def _weight_grad(x, dy, *, compute_dtype):
     """dw[a+2r, b+2s] = xp_tap^T @ dy_(a,b): 16 dense XLA matmuls at MXU
     roofline (kept outside the Pallas bwd: a [4,4,Ci,Co] f32 accumulator
-    would not fit VMEM beside the fused working set at the widest stage)."""
-    b, h, ww, ci = x.shape
-    co = dy_ps[0].shape[-1]
+    would crowd the fused working set at the widest stage)."""
+    h, ww, b, ci = x.shape
+    co = dy.shape[-1]
     cdt = jnp.dtype(compute_dtype)
-    xp = jnp.pad(x.astype(cdt), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xp = jnp.pad(x.astype(cdt), ((1, 1), (1, 1), (0, 0), (0, 0)))
     n = b * h * ww
+    dy_r = dy.reshape(h, 2, ww, 2, b, co)
     rows = {}
-    for p, (a, bb) in enumerate(_PARITIES):
-        dy = dy_ps[p].reshape(n, co)
+    for a, bb in _PARITIES:
+        dyp = dy_r[:, a, :, bb].reshape(n, co)
         for r in (0, 1):
             for s in (0, 1):
-                tap = xp[:, a + r:a + r + h, bb + s:bb + s + ww, :]
+                tap = xp[a + r:a + r + h, bb + s:bb + s + ww].reshape(n, ci)
                 rows[(a + 2 * r, bb + 2 * s)] = jax.lax.dot_general(
-                    tap.reshape(n, ci), dy, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [Ci, Co]
+                    tap, dyp, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [Ci, Co]
     return jnp.stack([jnp.stack([rows[(kh, kw)] for kw in range(4)], axis=0)
-                      for kh in range(4)], axis=0)          # [4,4,Ci,Co]
+                      for kh in range(4)], axis=0)             # [4,4,Ci,Co]
 
 
 @functools.lru_cache(maxsize=None)
@@ -443,20 +502,19 @@ def _make_op(slope: float, group_size: int, dtype_name: str):
                         residuals=False)
 
     def fwd(x, w, gamma, beta):
-        y, y_ps, mu3, rstd3 = _forward(
+        y, ypre, mu_c, rstd_c = _forward(
             x, w, gamma, beta, slope=slope, group_size=group_size,
             compute_dtype=compute_dtype, residuals=True)
-        return y, (x, w, gamma, beta, y_ps, mu3, rstd3)
+        return y, (x, w, gamma, beta, ypre, mu_c, rstd_c)
 
     def bwd(res, g):
-        x, w, gamma, beta, y_ps, mu3, rstd3 = res
+        x, w, gamma, beta, ypre, mu_c, rstd_c = res
         co = w.shape[-1]
         groups = max(1, co // group_size)
-        g_ps = _deinterleave(g.astype(compute_dtype))
-        dx, dy_ps, dgamma, dbeta = _backward(
-            w, gamma, beta, mu3, rstd3, g_ps, y_ps,
+        dx, dy, dgamma, dbeta = _backward(
+            w, gamma, beta, mu_c, rstd_c, g.astype(compute_dtype), ypre,
             slope=slope, groups=groups, compute_dtype=compute_dtype)
-        dw = _weight_grad(x, dy_ps, compute_dtype=compute_dtype)
+        dw = _weight_grad(x, dy, compute_dtype=compute_dtype)
         return (dx.astype(x.dtype), dw.astype(w.dtype),
                 dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype))
 
@@ -465,42 +523,46 @@ def _make_op(slope: float, group_size: int, dtype_name: str):
 
 
 # Mosaic's scoped-vmem hard cap is 16 MB per kernel; leave headroom for its
-# own bookkeeping.  Checked at bt=1 (the smallest batch tile the grid can
-# shrink to) with Mosaic's observed buffering: grid-varying in/out blocks
-# double-buffered, constant-index blocks (weights) resident once.
+# own bookkeeping.  Checked at bt=1 (sublane padding makes bt<8 cost the
+# same as bt=8) with Mosaic's observed buffering: grid-varying in/out blocks
+# double-buffered, constant-index blocks resident once.
 _SCOPED_LIMIT = 15 * 1024 * 1024
 
 
 def pallas_fits(b, h, w_sp, ci, co, compute_dtype) -> bool:
-    """Whether the fused fwd AND bwd kernels fit scoped VMEM at this shape.
-
-    The real-TPU tier showed the f32 widest stage (h=32, ci=64, co=32)
-    needs 17.65 MB scoped for the bwd even at bt=1 — over the 16 MB hard
-    cap (lane padding: co=32 parity blocks occupy 4x their bytes).  The
-    estimators double-count the constant weight block relative to Mosaic's
-    accounting, so it is subtracted back once here."""
+    """Whether the fused fwd AND bwd kernels fit scoped VMEM at this shape."""
     itemsize = jnp.dtype(compute_dtype).itemsize
-    wgt = 4 * 4 * _sublane_pad(ci) * _lane_pad(co) * itemsize
-    fwd = _fwd_usage(1, h, w_sp, ci, co, itemsize) - wgt
-    bwd = _bwd_usage(1, h, w_sp, ci, co, itemsize) - wgt
-    return max(fwd, bwd) <= _SCOPED_LIMIT
+    return max(_fwd_usage(1, h, w_sp, ci, co, itemsize),
+               _bwd_usage(1, h, w_sp, ci, co, itemsize)) <= _SCOPED_LIMIT
+
+
+def upsample_block_sm(x, w, gamma, beta, *, slope: float = 0.2,
+                      group_size: int = 16, compute_dtype=jnp.bfloat16):
+    """Spatial-major fused stage: x [H, W, B, Ci] -> [2H, 2W, B, Co].
+
+    This is the layout the Pallas generator trunk runs in end-to-end
+    (models/generator.py); ``upsample_block_pallas`` is the batch-major
+    compatibility wrapper.  Guarantee-run: shapes whose fused working set
+    cannot fit Mosaic's scoped-VMEM cap dispatch to the XLA twin."""
+    h, ww, b, ci = x.shape
+    co = w.shape[-1]
+    if not pallas_fits(b, h, ww, ci, co, compute_dtype):
+        from levelgan.ops.blocks import upsample_block_xla
+        y = upsample_block_xla(
+            jnp.transpose(x, (2, 0, 1, 3)), w, gamma, beta, slope=slope,
+            group_size=group_size, compute_dtype=compute_dtype)
+        return jnp.transpose(y, (1, 2, 0, 3))
+    op = _make_op(float(slope), int(group_size),
+                  jnp.dtype(compute_dtype).name)
+    return op(x, w, gamma, beta)
 
 
 def upsample_block_pallas(x, w, gamma, beta, *, slope: float = 0.2,
                           group_size: int = 16,
                           compute_dtype=jnp.bfloat16):
-    """Drop-in twin of ``ops.blocks.upsample_block_xla`` (same signature).
-
-    Guarantee-run: shapes whose fused working set cannot fit Mosaic's
-    scoped-VMEM cap even at batch tile 1 (e.g. the widest stage at f32)
-    dispatch to the XLA twin instead of failing at compile time.  Every
-    shipped bf16 stage fits."""
-    b, h, ww, ci = x.shape
-    co = w.shape[-1]
-    if not pallas_fits(b, h, ww, ci, co, compute_dtype):
-        from levelgan.ops.blocks import upsample_block_xla
-        return upsample_block_xla(x, w, gamma, beta, slope=slope,
-                                  group_size=group_size,
-                                  compute_dtype=compute_dtype)
-    op = _make_op(float(slope), int(group_size), jnp.dtype(compute_dtype).name)
-    return op(x, w, gamma, beta)
+    """Drop-in twin of ``ops.blocks.upsample_block_xla`` (same signature,
+    batch-major [B, H, W, C] in/out) around the spatial-major kernel."""
+    y = upsample_block_sm(
+        jnp.transpose(x, (1, 2, 0, 3)), w, gamma, beta, slope=slope,
+        group_size=group_size, compute_dtype=compute_dtype)
+    return jnp.transpose(y, (2, 0, 1, 3))
