@@ -82,9 +82,11 @@ _VMEM_BUDGET = 12 * 1024 * 1024   # of the 16 MB scoped-vmem hard limit
 _PARITIES = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 
-def _sublane_pad(n: int) -> int:
-    """Sublane (second-to-last dim) rounds up to 8 in VMEM tiles."""
-    return max(8, -(-n // 8) * 8)
+def _sublane_pad(n: int, itemsize: int = 4) -> int:
+    """Sublane (second-to-last dim) rounds up to the native tile: 8
+    sublanes of 32 bits, i.e. 8 for f32 and 16 for packed bf16."""
+    t = 8 * (4 // itemsize)
+    return max(t, -(-n // t) * t)
 
 
 def _lane_pad(n: int) -> int:
@@ -94,15 +96,28 @@ def _lane_pad(n: int) -> int:
 
 def _blk(h: int, w: int, bt: int, c: int, itemsize: int) -> int:
     """VMEM bytes of one spatial-major [h, w, bt, c] block after tiling."""
-    return h * w * _sublane_pad(bt) * _lane_pad(c) * itemsize
+    return h * w * _sublane_pad(bt, itemsize) * _lane_pad(c) * itemsize
 
 
-def _pick_batch_tile(b: int, usage_fn) -> int:
-    """Largest power-of-two divisor of b whose working set fits VMEM."""
-    bt = b
-    while bt > 1 and (b % bt or usage_fn(bt) > _VMEM_BUDGET):
-        bt //= 2
-    return max(bt, 1)
+def _legal_tiles(b: int):
+    """Batch tiles Mosaic will accept, largest first.
+
+    A block's sublane dim must be divisible by 8 OR equal the full array
+    dim (the lowering rule the round-2 on-chip tier hit at bt<8): that is
+    every multiple-of-8 power-of-two divisor of b, plus b itself."""
+    tiles = [bt for bt in (b >> k for k in range(b.bit_length()))
+             if b % bt == 0 and bt % 8 == 0]
+    if b not in tiles:
+        tiles.insert(0, b)
+    return tiles
+
+
+def _pick_batch_tile(b: int, usage_fn):
+    """Largest legal batch tile whose working set fits VMEM, else None."""
+    for bt in _legal_tiles(b):
+        if usage_fn(bt) <= _VMEM_BUDGET:
+            return bt
+    return None
 
 
 def _membership(co: int, groups: int):
@@ -242,7 +257,7 @@ def _fwd_usage(bt, h, w, ci, co, itemsize):
     wpk_lanes = _lane_pad(len(plan[0][0]) * co)
     acc_lanes = sum(_lane_pad(len(pars) * co) for pars, _ in plan)
     x = _blk(h, w, bt, ci, itemsize)
-    wpk = n_mm * _sublane_pad(ci) * wpk_lanes * itemsize
+    wpk = n_mm * _sublane_pad(ci, itemsize) * wpk_lanes * itemsize
     outs = 2 * _blk(2 * h, 2 * w, bt, co, itemsize) \
         + 2 * _sublane_pad(bt) * _lane_pad(co) * 4
     # values: padded input + the f32 accumulators + per-parity f32 planes
@@ -267,6 +282,10 @@ def _forward(x, w, gamma, beta, *, slope, group_size, compute_dtype,
     wpk = _pack_weights(w, plan, cdt)
     bt = _pick_batch_tile(
         b, lambda t: _fwd_usage(t, h, ww, ci, co, cdt.itemsize))
+    if bt is None:   # callers gate on pallas_fits; keep the error loud
+        raise ValueError(
+            f"K1 fwd working set exceeds VMEM at every legal batch tile "
+            f"(b={b}, h={h}, ci={ci}, co={co}, {cdt.name})")
 
     kern = functools.partial(
         _fwd_kernel, h=h, w=ww, ci=ci, co=co, groups=groups, slope=slope,
@@ -404,7 +423,7 @@ def _bwd_kernel(w_ref, gamma_ref, beta_ref, mu_ref, rstd_ref, g_ref,
 
 def _bwd_usage(bt, h, w, ci, co, itemsize):
     """Scoped-VMEM estimate for one bwd grid program (same model as fwd)."""
-    wgt = 16 * _sublane_pad(ci) * _lane_pad(co) * itemsize
+    wgt = 16 * _sublane_pad(ci, itemsize) * _lane_pad(co) * itemsize
     ins = 2 * _blk(2 * h, 2 * w, bt, co, itemsize) \
         + 2 * _sublane_pad(bt) * _lane_pad(co) * 4
     outs = _blk(h, w, bt, ci, itemsize) + _blk(2 * h, 2 * w, bt, co, itemsize)
@@ -426,6 +445,10 @@ def _backward(w, gamma, beta, mu_c, rstd_c, g, ypre, *,
     cdt = jnp.dtype(compute_dtype)
     bt = _pick_batch_tile(
         b, lambda t: _bwd_usage(t, h, ww, ci, co, cdt.itemsize))
+    if bt is None:
+        raise ValueError(
+            f"K1 bwd working set exceeds VMEM at every legal batch tile "
+            f"(b={b}, h={h}, ci={ci}, co={co}, {cdt.name})")
 
     kern = functools.partial(
         _bwd_kernel, h=h, w=ww, ci=ci, co=co, groups=groups, slope=slope,
@@ -522,18 +545,16 @@ def _make_op(slope: float, group_size: int, dtype_name: str):
     return op
 
 
-# Mosaic's scoped-vmem hard cap is 16 MB per kernel; leave headroom for its
-# own bookkeeping.  Checked at bt=1 (sublane padding makes bt<8 cost the
-# same as bt=8) with Mosaic's observed buffering: grid-varying in/out blocks
-# double-buffered, constant-index blocks resident once.
-_SCOPED_LIMIT = 15 * 1024 * 1024
-
-
 def pallas_fits(b, h, w_sp, ci, co, compute_dtype) -> bool:
-    """Whether the fused fwd AND bwd kernels fit scoped VMEM at this shape."""
+    """Whether the fused fwd AND bwd kernels fit scoped VMEM at some LEGAL
+    batch tile for this shape — the same decision ``_forward``/``_backward``
+    make, so the gate and the dispatch can never disagree."""
     itemsize = jnp.dtype(compute_dtype).itemsize
-    return max(_fwd_usage(1, h, w_sp, ci, co, itemsize),
-               _bwd_usage(1, h, w_sp, ci, co, itemsize)) <= _SCOPED_LIMIT
+    return (
+        _pick_batch_tile(
+            b, lambda t: _fwd_usage(t, h, w_sp, ci, co, itemsize)) is not None
+        and _pick_batch_tile(
+            b, lambda t: _bwd_usage(t, h, w_sp, ci, co, itemsize)) is not None)
 
 
 def upsample_block_sm(x, w, gamma, beta, *, slope: float = 0.2,
