@@ -563,19 +563,27 @@ def upsample_block_sm(x, w, gamma, beta, *, slope: float = 0.2,
 
     This is the layout the Pallas generator trunk runs in end-to-end
     (models/generator.py); ``upsample_block_pallas`` is the batch-major
-    compatibility wrapper.  Guarantee-run: shapes whose fused working set
-    cannot fit Mosaic's scoped-VMEM cap dispatch to the XLA twin."""
+    compatibility wrapper.  Dispatch: the monolithic-spatial kernel for
+    shapes whose whole sample fits VMEM (wide early stages — fully fused
+    GN, zero HBM round-trips), the row-tiled folded-emit kernel
+    (kernels.upsample_rows) for the large-spatial narrow-channel late
+    stages, and the XLA twin as the guarantee-run for anything else."""
     h, ww, b, ci = x.shape
     co = w.shape[-1]
-    if not pallas_fits(b, h, ww, ci, co, compute_dtype):
-        from levelgan.ops.blocks import upsample_block_xla
-        y = upsample_block_xla(
-            jnp.transpose(x, (2, 0, 1, 3)), w, gamma, beta, slope=slope,
-            group_size=group_size, compute_dtype=compute_dtype)
-        return jnp.transpose(y, (1, 2, 0, 3))
-    op = _make_op(float(slope), int(group_size),
-                  jnp.dtype(compute_dtype).name)
-    return op(x, w, gamma, beta)
+    if pallas_fits(b, h, ww, ci, co, compute_dtype):
+        op = _make_op(float(slope), int(group_size),
+                      jnp.dtype(compute_dtype).name)
+        return op(x, w, gamma, beta)
+    from levelgan.kernels.upsample_rows import rows_fits, upsample_block_rows_sm
+    if rows_fits(b, h, ww, ci, co, compute_dtype):
+        return upsample_block_rows_sm(
+            x, w, gamma, beta, slope=slope, group_size=group_size,
+            compute_dtype=compute_dtype)
+    from levelgan.ops.blocks import upsample_block_xla
+    y = upsample_block_xla(
+        jnp.transpose(x, (2, 0, 1, 3)), w, gamma, beta, slope=slope,
+        group_size=group_size, compute_dtype=compute_dtype)
+    return jnp.transpose(y, (1, 2, 0, 3))
 
 
 def upsample_block_pallas(x, w, gamma, beta, *, slope: float = 0.2,

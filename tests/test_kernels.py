@@ -146,3 +146,79 @@ def test_bad_group_size_rejected():
     with pytest.raises(ValueError):
         upsample_block_pallas(x, w, gamma, beta, group_size=8,
                               compute_dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# K1L: the row-tiled folded-emit variant (kernels/upsample_rows.py)
+# ---------------------------------------------------------------------------
+
+def _sm(x):
+    """batch-major [B, H, W, C] -> spatial-major [H, W, B, C]."""
+    return jnp.transpose(x, (1, 2, 0, 3))
+
+
+@pytest.mark.parametrize("b,h,ci,co", [
+    (4, 16, 32, 16),   # late-stage aspect ratio (scaled down)
+    (3, 8, 24, 32),    # non-pow2 batch, ci < co
+    (4, 32, 16, 8),    # largest-spatial, narrowest channels
+])
+def test_rows_forward_matches_oracle(b, h, ci, co):
+    from levelgan.kernels.upsample_rows import upsample_block_rows_sm
+
+    x, w, gamma, beta = _io(b, h, ci, co)
+    y_x = np.asarray(upsample_block_xla(
+        x, w, gamma, beta, group_size=8, compute_dtype=jnp.float32))
+    y_r = np.asarray(jnp.transpose(upsample_block_rows_sm(
+        _sm(x), w, gamma, beta, group_size=8, compute_dtype=jnp.float32),
+        (2, 0, 1, 3)))
+    np.testing.assert_allclose(y_r, y_x, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("b,h,ci,co", [
+    (4, 16, 32, 16),
+    (4, 32, 16, 8),
+])
+def test_rows_backward_matches_oracle(b, h, ci, co):
+    from levelgan.kernels.upsample_rows import upsample_block_rows_sm
+
+    x, w, gamma, beta = _io(b, h, ci, co)
+
+    def loss_rows(x, w, g, bb):
+        y = upsample_block_rows_sm(_sm(x), w, g, bb, group_size=8,
+                                   compute_dtype=jnp.float32)
+        return (y.astype(jnp.float32) ** 2).mean()
+
+    def loss_xla(x, w, g, bb):
+        y = upsample_block_xla(x, w, g, bb, group_size=8,
+                               compute_dtype=jnp.float32)
+        return (y.astype(jnp.float32) ** 2).mean()
+
+    g_r = jax.grad(loss_rows, argnums=(0, 1, 2, 3))(x, w, gamma, beta)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(x, w, gamma, beta)
+    for i, (a, bb) in enumerate(zip(g_x, g_r)):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   atol=3e-6, rtol=2e-4, err_msg=f"arg {i}")
+
+
+def test_fold_unfold_roundtrip():
+    from levelgan.kernels.upsample_rows import fold, unfold
+
+    y = jax.random.normal(jax.random.key(0), (8, 6, 3, 16))  # merged-shape
+    np.testing.assert_array_equal(np.asarray(unfold(fold(y))), np.asarray(y))
+
+
+def test_dispatch_covers_all_gumbel64_stages_bf16():
+    """In the SHIPPED bf16 dtype every gumbel_64 stage must dispatch to a
+    Pallas kernel (monolithic or row-tiled), never the XLA twin: a silent
+    coverage regression would turn use_pallas=true into the fallback."""
+    from levelgan.kernels.upsample_block import pallas_fits
+    from levelgan.kernels.upsample_rows import rows_fits
+
+    stages = [(64, 4, 512, 256), (64, 8, 256, 128),
+              (64, 16, 128, 64), (64, 32, 64, 32)]
+    uncovered = [s for s in stages
+                 if not (pallas_fits(s[0], s[1], s[1], s[2], s[3],
+                                     jnp.bfloat16)
+                         or rows_fits(s[0], s[1], s[1], s[2], s[3],
+                                      jnp.bfloat16))]
+    assert not uncovered, f"stages with no fitting Pallas kernel: {uncovered}"
