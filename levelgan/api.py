@@ -368,6 +368,11 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
     if cfg.io.debug_nans:
         # SURVEY.md §5.2: NaN propagation debug mode (reference had none)
         jax.config.update("jax_debug_nans", True)
+    if cfg.io.compile_cache:
+        # Persistent XLA compile cache: a preset's first compile costs
+        # 20-40s through the relay; warm resumes start in seconds.
+        jax.config.update("jax_compilation_cache_dir", cfg.io.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if mesh is None:
         from levelgan.dist.mesh import init_distributed
         init_distributed(cfg.dist)

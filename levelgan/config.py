@@ -147,6 +147,10 @@ class IOConfig:
     debug_nans: bool = False      # jax_debug_nans (SURVEY.md §5.2 debug mode)
     tensorboard: bool = False     # optional TB scalars (torch SummaryWriter)
     render_every: int = 0         # PNG grid of generated levels every k steps
+    # Persistent XLA compilation cache directory ('' = disabled).  First
+    # compile of a preset costs 20-40s through the dev relay; a warm cache
+    # makes re-runs/resumes start in seconds (SURVEY.md §5.1 ergonomics).
+    compile_cache: str = ""
 
 
 @dataclass(frozen=True)

@@ -192,3 +192,20 @@ def test_print_config_round_trips_via_config_file(tmp_path, capsys):
     again = json.loads(capsys.readouterr().out)
     assert again == json.loads(dumped)
     assert again["train"]["steps"] == 7
+
+
+def test_compile_cache_persists_and_warms(tmp_path):
+    """io.compile_cache: first run populates the persistent XLA cache dir;
+    a second identical run starts from the warm cache (SURVEY.md §5.1
+    ergonomics — first compile costs 20-40s through the dev relay)."""
+    cache = tmp_path / "xla_cache"
+    cfg = preset("toy_dcgan_16").override(
+        **TINY, **{"train.steps": 2, "io.out_dir": str(tmp_path / "run1"),
+                   "io.compile_cache": str(cache)})
+    train(cfg, echo=False)
+    entries = list(cache.rglob("*")) if cache.exists() else []
+    assert entries, "compile cache dir was not populated"
+    # warm re-run must succeed with the cache active (hit path exercised)
+    cfg2 = cfg.override(**{"io.out_dir": str(tmp_path / "run2")})
+    res = train(cfg2, echo=False)
+    assert np.isfinite(res["kl"])

@@ -222,3 +222,18 @@ def test_dispatch_covers_all_gumbel64_stages_bf16():
                          or rows_fits(s[0], s[1], s[1], s[2], s[3],
                                       jnp.bfloat16))]
     assert not uncovered, f"stages with no fitting Pallas kernel: {uncovered}"
+
+
+@pytest.mark.parametrize("b", [2, 3, 4, 8, 16, 24, 48, 64, 96, 128])
+def test_batch_tiles_always_mosaic_legal(b):
+    """Every tile the pickers can emit obeys the Mosaic sublane rule
+    (bt % 8 == 0 or bt == b) and divides the batch — the round-2 on-chip
+    lowering failure class."""
+    from levelgan.kernels.upsample_block import _legal_tiles
+    from levelgan.kernels.upsample_rows import _legal_bt
+
+    for tiles in (_legal_tiles(b), _legal_bt(b)):
+        assert tiles, f"no legal tiles for b={b}"
+        for bt in tiles:
+            assert b % bt == 0
+            assert bt % 8 == 0 or bt == b

@@ -103,12 +103,24 @@ def main():
             x, w, g, b, compute_dtype=dtype),
     }
 
+    from levelgan.kernels.upsample_block import pallas_fits
+    from levelgan.kernels.upsample_rows import rows_fits
+
+    def which_kernel(b, h, ci, co):
+        """Which implementation upsample_block_sm dispatches to."""
+        if pallas_fits(b, h, h, ci, co, dtype):
+            return "mono"
+        if rows_fits(b, h, h, ci, co, dtype):
+            return "rows"
+        return "xla-fallback"
+
     print(f"[bench_kernels] backend={jax.default_backend()} "
           f"devices={jax.devices()} dtype={args.dtype} K={args.k}")
     rows = []
     for level in (32, 64):
         for (b, h, ci, co) in stage_shapes(level, args.batch):
-            row = {"level": level, "b": b, "h": h, "ci": ci, "co": co}
+            row = {"level": level, "b": b, "h": h, "ci": ci, "co": co,
+                   "kernel": which_kernel(b, h, ci, co)}
             for name, fn in impls.items():
                 ins = make_inputs(b, h, ci, co, dtype)
                 r = bench(fn, ins, args.k, args.trials)
@@ -117,7 +129,7 @@ def main():
             row["speedup_fwd"] = row["xla_fwd_ms"] / row["pallas_fwd_ms"]
             row["speedup_train"] = row["xla_train_ms"] / row["pallas_train_ms"]
             rows.append(row)
-            print(f"  L{level} stage {h}x{h} {ci}->{co}: "
+            print(f"  L{level} stage {h}x{h} {ci}->{co} [{row['kernel']}]: "
                   f"fwd xla {row['xla_fwd_ms']:.3f} / pallas "
                   f"{row['pallas_fwd_ms']:.3f} ms ({row['speedup_fwd']:.2f}x)"
                   f" | train xla {row['xla_train_ms']:.3f} / pallas "
