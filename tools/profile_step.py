@@ -1,15 +1,21 @@
 """Trace-derived per-op profile of a preset's train step (SURVEY.md §5.1).
 
 Captures a ``jax.profiler`` trace around ONE warm multi-step dispatch block
-(the shipped api.train cadence), converts the xplane with
-tensorboard_plugin_profile, and writes a distilled per-op table:
+(the shipped api.train cadence), parses the raw ``*.xplane.pb`` protobuf
+directly (the installed tensorboard_plugin_profile's converter is broken
+against this tensorflow build — its pywrap module lacks
+``xspace_to_tools_data`` — so we read the TPU device plane's "XLA Ops"
+line ourselves), and writes a distilled profile:
 
-    artifacts/profile_<preset>[_pallas].json   (top ops, times, utilization)
-    artifacts/profile_<preset>[_pallas].md     (human table)
+    artifacts/profile_<preset>[_pallas].json   (categories, scopes, top ops)
+    artifacts/profile_<preset>[_pallas].md     (human tables)
 
+Each XLA-op event carries ``hlo_category``, ``flops``, ``bytes_accessed``
+and ``tf_op`` (the jaxpr path, which includes our ``jax.named_scope``
+annotations: K1/K1L/K2/rollout_scan), so the output attributes device
+milliseconds per step to categories AND to the annotated kernel regions.
 This is the data that arbitrates Pallas-vs-XLA (VERDICT.md round-1 items
-1/7): where a step's milliseconds actually go, per HLO op category, with
-the K1/K2 named_scope annotations visible in op names.
+1/7): where a step's milliseconds actually go.
 
 Usage: python -m tools.profile_step --preset gumbel_64 [--set model.use_pallas=true]
 """
@@ -70,63 +76,112 @@ def xplane_paths(trace_dir: str):
         os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True))
 
 
-def distill(trace_dir: str):
-    """xplane -> {tool: parsed json} for the tools we can get."""
-    # The baked-in tensorboard_plugin_profile ships _pb2.py files generated
-    # by an older protoc than the installed runtime accepts with the C++
-    # backend; the documented workaround is the pure-Python implementation
-    # (slower parse, same output). Must be set before the first *_pb2 import.
+# Regions we attribute time to; FIRST match in the tf_op jaxpr path wins,
+# so more specific scopes (our jax.named_scope annotations: K1*/K2*/
+# rollout_scan) come before the broad autodiff-path buckets. jax names
+# backward ops "transpose(jvp(Module))/...", so critic fwd vs bwd are
+# separable. "other" = optimizer, losses, data feed, glue.
+SCOPES = ("K1L_conv_fwd", "K1L_gn_act_unfold", "K1L_gn_act_bwd",
+          "K1L_conv_bwd", "K1L_dw", "K1_fused", "K1_bwd",
+          "K2_critic_grad_fused", "K2_grad_penalty_fused",
+          "K2_grad_penalty_pallas", "K2_grad_penalty_xla", "rollout_scan",
+          "gumbel_softmax",
+          "transpose(jvp(Critic))", "jvp(Critic)", "Critic",
+          "transpose(jvp(Generator))", "Generator", "adam")
+
+# TPU v5e peak: ~197 TFLOP/s bf16, ~98.5 TFLOP/s f32 per chip. The trace's
+# per-op `flops` stat counts model flops for ONE execution of the op, so
+# util = flops * count / (time * peak). We report against the bf16 peak
+# (the MXU path every hot matmul here uses).
+PEAK_FLOPS = 197e12
+
+
+def distill(trace_dir: str, top: int = 25):
+    """Parse xplane.pb -> {summary, categories, scopes, top_ops}."""
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = xplane_paths(trace_dir)
     if not paths:
         raise RuntimeError(f"no xplane.pb under {trace_dir}")
-    out = {}
-    for tool in ("op_profile", "framework_op_stats", "hlo_op_stats",
-                 "overview_page"):
-        for suffix in ("^", ""):
-            try:
-                data, _ = raw_to_tool_data.xspace_to_tool_data(
-                    paths, tool + suffix, params={"tqx": "out:json;"})
-                if isinstance(data, bytes):
-                    data = data.decode("utf-8", "replace")
-                try:
-                    out[tool] = json.loads(data)
-                except Exception:
-                    out[tool] = data
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+    planes = [p for p in xs.planes if p.name.startswith("/device:TPU")]
+    if not planes:
+        raise RuntimeError(
+            f"no TPU device plane in {paths[-1]} "
+            f"(planes: {[p.name for p in xs.planes]})")
+    plane = planes[0]
+    sm = {k: v.name for k, v in plane.stat_metadata.items()}
+    em = plane.event_metadata
+    lines = [ln for ln in plane.lines if ln.name == "XLA Ops"]
+    if not lines:
+        raise RuntimeError(
+            f"no 'XLA Ops' line (lines: {[ln.name for ln in plane.lines]})")
+
+    # The XLA Ops line is a containment forest: control-flow ops (while,
+    # call) and fusions appear as parent events spanning their children, so
+    # naive duration sums over-count ~3x. Attribute SELF time: duration
+    # minus nested children, via a stack sweep over (offset, duration).
+    # Aggregate per op symbol; metadata stats (category/flops/bytes/tf_op)
+    # are per-execution constants.
+    evs = sorted(((e.offset_ps, e.duration_ps, e.metadata_id)
+                  for e in lines[0].events), key=lambda t: (t[0], -t[1]))
+    ops = {}
+    stack = []   # (end_ps, metadata_id)
+    for off, dur, mid in evs:
+        while stack and stack[-1][0] <= off:
+            stack.pop()
+        rec = ops.get(mid)
+        if rec is None:
+            md = em[mid]
+            st = {}
+            for s in md.stats:
+                st[sm[s.metadata_id]] = (
+                    s.str_value or s.int64_value or s.uint64_value
+                    or s.double_value or "")
+            rec = ops[mid] = {
+                "name": md.display_name or md.name.split(" = ")[0],
+                "category": str(st.get("hlo_category", "?")),
+                "tf_op": str(st.get("tf_op", "")),
+                "flops": int(st.get("flops") or 0),
+                "bytes": int(st.get("raw_bytes_accessed")
+                             or st.get("bytes_accessed") or 0),
+                "time_ps": 0, "count": 0,
+            }
+        rec["time_ps"] += dur
+        rec["count"] += 1
+        if stack:   # nested: remove my span from the parent's self time
+            ops[stack[-1][1]]["time_ps"] -= dur
+        stack.append((off + dur, mid))
+
+    total_ps = sum(r["time_ps"] for r in ops.values())
+    cats, scopes = {}, {}
+    for r in ops.values():
+        cats[r["category"]] = cats.get(r["category"], 0) + r["time_ps"]
+        hit = "other"
+        for s in SCOPES:
+            if s in r["tf_op"]:
+                hit = s
                 break
-            except Exception:
-                continue
-    return out
+        scopes[hit] = scopes.get(hit, 0) + r["time_ps"]
 
-
-def op_table(tools: dict, top: int = 25):
-    """Distill a ranked per-op table from whichever tool converted."""
-    rows = []
-    op = tools.get("op_profile")
-    if isinstance(op, dict):
-        # op_profile: nested byCategory tree with metrics.{time,flops}
-        root = (op.get("byCategory") or op.get("by_category") or {})
-        total_ps = (root.get("metrics") or {}).get("rawTime", 0)
-
-        def walk(node, cat):
-            ch = node.get("children") or []
-            if not ch:
-                m = node.get("metrics") or {}
-                rows.append({
-                    "name": node.get("name", "?"), "category": cat,
-                    "time_frac": m.get("time", 0.0),
-                    "flops_util": m.get("flops", 0.0),
-                })
-                return
-            for c in ch:
-                walk(c, cat or node.get("name", ""))
-        for c in root.get("children") or []:
-            walk(c, c.get("name", ""))
-        rows.sort(key=lambda r: -r["time_frac"])
-        return rows[:top], total_ps
-    return rows, 0
+    rows = sorted(ops.values(), key=lambda r: -r["time_ps"])[:top]
+    for r in rows:
+        r["time_frac"] = r["time_ps"] / max(total_ps, 1)
+        tot_flops = r["flops"] * r["count"]
+        r["flops_util"] = (tot_flops / (r["time_ps"] * 1e-12) / PEAK_FLOPS
+                           if r["time_ps"] else 0.0)
+        # keep only the scope-bearing tail of the jaxpr path for the table
+        r["tf_op"] = r["tf_op"].split("closed_call/")[-1][-90:]
+    return {
+        "total_device_ps": total_ps,
+        "categories": dict(sorted(cats.items(), key=lambda kv: -kv[1])),
+        "scopes": dict(sorted(scopes.items(), key=lambda kv: -kv[1])),
+        "top_ops": rows,
+        "n_ops": len(ops),
+    }
 
 
 def main(argv=None):
@@ -146,29 +201,51 @@ def main(argv=None):
     trace_dir, wall, k = capture(args.preset, args.k, overrides)
     print(f"[profile] traced {args.preset}{suffix}: {wall * 1e3 / k:.3f} "
           f"ms/step over {k} steps; trace at {trace_dir}")
-    tools = distill(trace_dir)
-    rows, total_ps = op_table(tools, args.top)
+    prof = distill(trace_dir, args.top)
+    ps_to_ms_step = 1e-9 / k   # total over the K-step block -> ms/step
 
     os.makedirs(args.out_dir, exist_ok=True)
     base = os.path.join(args.out_dir, f"profile_{args.preset}{suffix}")
     with open(base + ".json", "w") as f:
         json.dump({"preset": args.preset, "overrides": overrides,
-                   "ms_per_step_walled": wall * 1e3 / k,
-                   "steps_per_dispatch": k,
-                   "total_device_ps": total_ps,
-                   "top_ops": rows,
-                   "tools_available": sorted(tools)}, f, indent=1)
+                   "ms_per_step_wall": wall * 1e3 / k,
+                   "ms_per_step_device": prof["total_device_ps"]
+                   * ps_to_ms_step,
+                   "steps_per_dispatch": k, "n_ops": prof["n_ops"],
+                   "categories_ms_per_step": {
+                       c: t * ps_to_ms_step
+                       for c, t in prof["categories"].items()},
+                   "scopes_ms_per_step": {
+                       s: t * ps_to_ms_step
+                       for s, t in prof["scopes"].items()},
+                   "top_ops": prof["top_ops"]}, f, indent=1)
     with open(base + ".md", "w") as f:
         f.write(f"# Trace profile: {args.preset}{suffix}\n\n")
         f.write(f"- wall: {wall * 1e3 / k:.3f} ms/step (K={k} dispatch, "
-                f"hard sync)\n- overrides: {overrides}\n\n")
-        f.write("| op | category | device-time frac | MXU util |\n")
-        f.write("|---|---|---|---|\n")
-        for r in rows:
-            f.write(f"| {r['name'][:70]} | {r['category']} | "
-                    f"{r['time_frac']:.4f} | {r['flops_util']:.3f} |\n")
-    print(f"[profile] wrote {base}.json / .md "
-          f"({len(rows)} ops, tools={sorted(tools)})")
+                f"hard sync); device: "
+                f"{prof['total_device_ps'] * ps_to_ms_step:.3f} ms/step "
+                f"over {prof['n_ops']} distinct ops\n"
+                f"- overrides: {overrides}\n\n")
+        f.write("## By HLO category (ms/step)\n\n| category | ms/step |\n"
+                "|---|---|\n")
+        for c, t in prof["categories"].items():
+            f.write(f"| {c} | {t * ps_to_ms_step:.4f} |\n")
+        f.write("\n## By named_scope region (ms/step)\n\n"
+                "| scope | ms/step |\n|---|---|\n")
+        for s, t in prof["scopes"].items():
+            f.write(f"| {s} | {t * ps_to_ms_step:.4f} |\n")
+        f.write("\n## Top ops\n\n| op | category | ms/step | frac | "
+                "MXU util | jaxpr path (tail) |\n|---|---|---|---|---|---|\n")
+        for r in prof["top_ops"]:
+            f.write(f"| {r['name'][:60]} | {r['category']} | "
+                    f"{r['time_ps'] * ps_to_ms_step:.4f} | "
+                    f"{r['time_frac']:.3f} | {r['flops_util']:.3f} | "
+                    f"{r['tf_op'][-60:]} |\n")
+    print(f"[profile] wrote {base}.json / .md")
+    print(f"[profile] device {prof['total_device_ps'] * ps_to_ms_step:.3f} "
+          f"ms/step; top scopes: "
+          + ", ".join(f"{s}={t * ps_to_ms_step:.3f}"
+                      for s, t in list(prof["scopes"].items())[:6]))
     return 0
 
 
