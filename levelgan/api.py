@@ -118,10 +118,14 @@ def unpack_levels(packed: np.ndarray, level_size: int) -> np.ndarray:
     hw = level_size * level_size
     bits = packed.shape[1] * 8 // hw
     grp = packed.reshape(b, hw // 8, bits)
-    shifts = np.arange(8, dtype=np.uint8)
-    out = np.zeros((b, hw // 8, 8), np.uint8)
+    # np.unpackbits runs the byte->bit expansion in C. The earlier
+    # broadcasting form (grp >> shifts & 1 per plane) materialized ~150 MB
+    # temporaries per op and took 16-44 s for a 37k-level gumbel_64 pull on
+    # this 1-core host — 10-20x the D2H transfer it postprocesses.
+    out = np.zeros((b, hw), np.uint8)
     for j in range(bits):
-        out |= (((grp[:, :, j:j + 1] >> shifts) & 1) << j).astype(np.uint8)
+        out |= np.unpackbits(np.ascontiguousarray(grp[:, :, j]),
+                             axis=1, bitorder="little") << j
     return out.reshape(b, level_size, level_size)
 
 
@@ -194,10 +198,14 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
     hw = cfg.model.level_size ** 2
     per = packed_bytes(cfg.model) if pack else hw
     n_batches_total = -(-n // batch_size)
-    # bound device memory per dispatch (~64MB of packed ids)
+    # Block size per dispatch: ~8MB of packed ids. Besides bounding device
+    # memory, this is the measured D2H sweet spot of the dev relay (~40MB/s
+    # at 8MB chunks vs 5-22MB/s on one monolithic 56MB pull), and smaller
+    # blocks let copy_to_host_async overlap earlier blocks' transfers with
+    # later blocks' compute.
     per_batch_bytes = batch_size * per
     nb_per_dispatch = max(1, min(n_batches_total,
-                                 (64 << 20) // max(per_batch_bytes, 1)))
+                                 (8 << 20) // max(per_batch_bytes, 1)))
     futures = []
     key = jax.random.key(seed)
     done = 0

@@ -37,14 +37,20 @@ def _sync(x) -> float:
 
 
 def probe_d2h(nbytes: int, trials: int):
-    """Device->host bandwidth (MB/s) pulling a device buffer of ``nbytes``."""
+    """Device->host bandwidth (MB/s) pulling a device buffer of ``nbytes``.
+
+    A FRESH buffer per trial: jax caches the host copy of an array after
+    its first transfer, so re-pulling the same buffer measures memcpy, not
+    the relay (observed: 139 GB/s "bandwidth" on the second pull)."""
     import jax
     import jax.numpy as jnp
 
-    buf = jax.jit(lambda: jnp.zeros((nbytes,), jnp.uint8))()
-    _sync(buf[:1])                     # materialize before timing
+    make = jax.jit(lambda i: jnp.full((nbytes,), i, jnp.uint8))
+    _sync(make(jnp.uint8(0))[:1])      # compile + warm the transfer path
     rates = []
-    for _ in range(trials):
+    for t in range(trials):
+        buf = make(jnp.uint8(t + 1))
+        _sync(buf[:1])                 # materialize before timing
         t0 = time.perf_counter()
         np.asarray(buf)
         rates.append(nbytes / (time.perf_counter() - t0) / 1e6)
