@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from levelgan.config import EMPTY, GOAL, START, CurriculumConfig
@@ -38,6 +39,7 @@ def test_a2c_update_is_finite_and_moves_params():
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
 
 
+@pytest.mark.slow
 def test_agent_learns_corridor():
     """Statistical: on a fixed corridor level (goal to the right), A2C should
     raise playability far above the random policy baseline."""

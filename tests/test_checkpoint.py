@@ -45,6 +45,7 @@ def test_roundtrip(cfg, tmp_path):
         np.asarray(jax.random.key_data(state.rng)))
 
 
+@pytest.mark.slow
 def test_reference_key_layout(cfg, tmp_path):
     """Top-level key namespaces match the reference semantics (SURVEY §5.4)."""
     path = save_checkpoint(str(tmp_path), create_state(cfg), cfg)

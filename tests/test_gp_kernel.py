@@ -92,7 +92,8 @@ def _critic_cfg(level, cond_dim=0):
                        group_size=8, dtype="float32", cond_dim=cond_dim)
 
 
-@pytest.mark.parametrize("level,cond_dim", [(16, 0), (32, 0), (16, 4)])
+@pytest.mark.parametrize("level,cond_dim", [
+    (16, 0), pytest.param(32, 0, marks=pytest.mark.slow), (16, 4)])
 def test_fused_critic_input_grad_matches_oracle(level, cond_dim):
     """K2 stage (c): the fused critic-forward+input-gradient kernel must
     match jax.grad through the XLA-twin critic."""
@@ -116,7 +117,8 @@ def test_fused_critic_input_grad_matches_oracle(level, cond_dim):
                                rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("level,cond_dim", [(16, 0), (32, 0), (16, 4)])
+@pytest.mark.parametrize("level,cond_dim", [
+    (16, 0), pytest.param(32, 0, marks=pytest.mark.slow), (16, 4)])
 def test_fused_gp_value_and_double_backward(level, cond_dim):
     """K2 stage (c): penalty value and its params-gradient (the WGAN-GP
     double backward) must match the pure-XLA oracle."""

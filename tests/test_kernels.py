@@ -29,11 +29,14 @@ def test_parity_decomposition_exact():
     np.testing.assert_allclose(a, b, atol=2e-6)
 
 
+# One representative shape stays in the fast tier; the sweep runs under
+# -m slow (and the real-chip variants in tests_tpu/). Interpret-mode
+# compiles cost 8-15 s each on this 1-core host.
 @pytest.mark.parametrize("b,h,ci,co", [
     (4, 4, 64, 32),    # deepest stage shape (scaled down)
-    (4, 8, 32, 16),
-    (2, 16, 16, 16),
-    (3, 4, 24, 8),     # non-pow2 batch/channels
+    pytest.param(4, 8, 32, 16, marks=pytest.mark.slow),
+    pytest.param(2, 16, 16, 16, marks=pytest.mark.slow),
+    pytest.param(3, 4, 24, 8, marks=pytest.mark.slow),  # non-pow2
 ])
 def test_pallas_forward_matches_oracle(b, h, ci, co):
     x, w, gamma, beta = _io(b, h, ci, co)
@@ -58,9 +61,9 @@ def _grad_of(fn):
 
 @pytest.mark.parametrize("b,h,ci,co", [
     (4, 4, 64, 32),    # deepest stage shape (scaled down)
-    (4, 8, 32, 16),
-    (2, 16, 16, 16),
-    (3, 4, 24, 8),     # non-pow2 batch/channels
+    pytest.param(4, 8, 32, 16, marks=pytest.mark.slow),
+    pytest.param(2, 16, 16, 16, marks=pytest.mark.slow),
+    pytest.param(3, 4, 24, 8, marks=pytest.mark.slow),  # non-pow2
 ])
 def test_pallas_backward_matches_oracle(b, h, ci, co):
     x, w, gamma, beta = _io(b, h, ci, co)
@@ -71,6 +74,7 @@ def test_pallas_backward_matches_oracle(b, h, ci, co):
                                    atol=5e-3, rtol=1e-3, err_msg=f"arg {i}")
 
 
+@pytest.mark.slow
 def test_pallas_backward_batch_tiled(monkeypatch):
     """Force bt < b so the dgamma/dbeta cross-program accumulation and the
     per-tile dx/dy paths are exercised (the VMEM-exhaustion regime the CPU
@@ -89,6 +93,7 @@ def test_pallas_backward_batch_tiled(monkeypatch):
         ub._make_op.cache_clear()
 
 
+@pytest.mark.slow
 def test_generator_grads_with_pallas_match_xla():
     """Whole-Generator backward with use_pallas on/off (the training path)."""
     from levelgan.config import ModelConfig
@@ -159,8 +164,8 @@ def _sm(x):
 
 @pytest.mark.parametrize("b,h,ci,co", [
     (4, 16, 32, 16),   # late-stage aspect ratio (scaled down)
-    (3, 8, 24, 32),    # non-pow2 batch, ci < co
-    (4, 32, 16, 8),    # largest-spatial, narrowest channels
+    pytest.param(3, 8, 24, 32, marks=pytest.mark.slow),  # non-pow2, ci<co
+    pytest.param(4, 32, 16, 8, marks=pytest.mark.slow),  # widest/narrowest
 ])
 def test_rows_forward_matches_oracle(b, h, ci, co):
     from levelgan.kernels.upsample_rows import upsample_block_rows_sm
@@ -176,7 +181,7 @@ def test_rows_forward_matches_oracle(b, h, ci, co):
 
 @pytest.mark.parametrize("b,h,ci,co", [
     (4, 16, 32, 16),
-    (4, 32, 16, 8),
+    pytest.param(4, 32, 16, 8, marks=pytest.mark.slow),
 ])
 def test_rows_backward_matches_oracle(b, h, ci, co):
     from levelgan.kernels.upsample_rows import upsample_block_rows_sm

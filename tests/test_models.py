@@ -17,7 +17,8 @@ def _init(m, batch=2):
     return gen, critic, pg, pd, z, x, cond
 
 
-@pytest.mark.parametrize("size", [16, 32, 64])
+@pytest.mark.parametrize("size", [
+    16, 32, pytest.param(64, marks=pytest.mark.slow)])
 def test_shapes(size):
     m = ModelConfig(level_size=size, base_channels=16, group_size=8,
                     latent_dim=8)
@@ -64,6 +65,7 @@ def test_sample_heads():
         sample_head(key, logits, "nope")
 
 
+@pytest.mark.slow
 def test_generator_grads_flow():
     m = ModelConfig(level_size=16, base_channels=16, group_size=8, latent_dim=8)
     gen, critic, pg, pd, z, x, cond = _init(m)

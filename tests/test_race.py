@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from levelgan.track.race import (CarState, RaceParams, driver_apply,
                                  init_cars, init_driver, observe,
@@ -51,6 +52,7 @@ def test_lap_detection():
     assert float(car2.laps[1]) == 0.0
 
 
+@pytest.mark.slow
 def test_observation_shape_and_rollout():
     from levelgan.track.data import synthetic_tracks
 

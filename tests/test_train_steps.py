@@ -46,6 +46,7 @@ def test_gan_step_runs_and_is_finite(tiny_gan_cfg):
     assert float(m["gen_hist"].sum()) == cfg.train.batch_size * 16 * 16
 
 
+@pytest.mark.slow
 def test_gan_step_deterministic(tiny_gan_cfg):
     cfg = tiny_gan_cfg
     step = jax.jit(make_gan_step(cfg))
