@@ -68,6 +68,10 @@ class TrainConfig:
     beta2: float = 0.999
     n_critic: int = 5             # critic updates per generator update (wgan_gp)
     gp_lambda: float = 10.0
+    # R1 gradient penalty on reals for the BCE GAN (loss='gan'); 0 = off
+    # (reference-default behavior). The plain BCE GAN oscillates on discrete
+    # tile data; r1_gamma ~ 0.1-1.0 damps it (measured in BASELINE.md).
+    r1_gamma: float = 0.0
     seed: int = 0
     # Steps executed per device dispatch (lax.scan over the step fn).
     # >1 amortizes host->device dispatch latency; log/ckpt cadence is

@@ -39,7 +39,7 @@ def current_tau(cfg: Config, step):
 
 def make_gan_step(cfg: Config):
     """Build the jit-able vanilla GAN step. Batch: uint8 ids [B, H, W]."""
-    m = cfg.model
+    m, t = cfg.model, cfg.train
     gen, critic = Generator(m), Critic(m)
     tx_g, tx_d = make_optimizers(cfg)
     label_smooth = 0.9  # soft real targets for D (standard DCGAN stabilizer)
@@ -68,6 +68,22 @@ def make_gan_step(cfg: Config):
                         d_real, jnp.full_like(d_real, label_smooth)).mean()
                     + optax.sigmoid_binary_cross_entropy(
                         d_fake, jnp.zeros_like(d_fake)).mean())
+            if t.r1_gamma > 0:
+                # R1 regularizer (Mescheder et al. 2018): penalize D's
+                # gradient on REALS. The reference's plain BCE GAN
+                # oscillates on discrete tile data (BASELINE.md config-1
+                # row); R1 is the standard fix. Off by default (0.0) so the
+                # reference-default run stays loss-identical. Sum trick as
+                # in ops.grad_penalty: per-sample scores are independent.
+                def d_sum(x):
+                    return critic.apply(
+                        {"params": params_d}, x, cond).astype(
+                            jnp.float32).sum()
+                g = jax.grad(d_sum)(real)
+                r1 = jnp.mean(jnp.sum(
+                    jnp.square(g.astype(jnp.float32)),
+                    axis=tuple(range(1, g.ndim))))
+                loss = loss + 0.5 * t.r1_gamma * r1
             return loss, (d_real.mean(), d_fake.mean())
 
         (d_loss, (dr, df)), d_grads = jax.value_and_grad(
