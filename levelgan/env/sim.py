@@ -62,6 +62,18 @@ def _tile_at(ids: jax.Array, pos: jax.Array) -> jax.Array:
     return ids[pos[0], pos[1]]
 
 
+def _pos_mask(h: int, w: int, pos: jax.Array) -> jax.Array:
+    """[..., 2] int coords -> [..., H, W] bool one-hot position mask.
+
+    Dense iota-compare instead of scatter: TPU scatters serialize (the
+    curriculum_16 trace showed 4 scatter ops costing ~0.96 ms/step, 26% of
+    the whole step — artifacts/profile_curriculum_16.md); a [H, W] compare
+    is 256 fused VPU lanes at 16x16."""
+    iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    return (iy == pos[..., 0, None, None]) & (ix == pos[..., 1, None, None])
+
+
 def transition(ids: jax.Array, pos: jax.Array, action: jax.Array,
                coins_taken: jax.Array, done: jax.Array, p: EnvParams):
     """One env step for a batch. ids [B,H,W], pos [B,2], action [B],
@@ -92,8 +104,8 @@ def transition(ids: jax.Array, pos: jax.Array, action: jax.Array,
                   + p.coin_reward * fresh_coin)
         reward = jnp.where(done1, 0.0, reward)
         new_done = done1 | (tile == GOAL)
-        new_coins = coins1.at[new_pos[0], new_pos[1]].set(
-            coins1[new_pos[0], new_pos[1]] | (fresh_coin & ~done1))
+        take = _pos_mask(h, w, new_pos) & (fresh_coin & ~done1)
+        new_coins = coins1 | take
         return new_pos, reward, new_done, new_coins
 
     return jax.vmap(step_one)(ids, pos, delta, coins_taken, done)
@@ -103,11 +115,10 @@ def make_obs(onehot: jax.Array, pos: jax.Array,
              coins_taken: jax.Array) -> jax.Array:
     """Policy observation [B,H,W,C+1]: level one-hot with collected coins
     zeroed from the COIN channel, plus an agent-position plane."""
-    b, h, w, c = onehot.shape
+    h, w = onehot.shape[1], onehot.shape[2]
     coin_mask = 1.0 - coins_taken.astype(onehot.dtype)
     level = onehot.at[..., COIN].set(onehot[..., COIN] * coin_mask)
-    plane = jnp.zeros((b, h, w), onehot.dtype)
-    plane = plane.at[jnp.arange(b), pos[:, 0], pos[:, 1]].set(1.0)
+    plane = _pos_mask(h, w, pos).astype(onehot.dtype)
     return jnp.concatenate([level, plane[..., None]], axis=-1)
 
 
