@@ -57,11 +57,6 @@ def start_positions(ids: jax.Array) -> jax.Array:
     return jnp.where(has_start[:, None], pos, center)
 
 
-def _tile_at(ids: jax.Array, pos: jax.Array) -> jax.Array:
-    """[H,W] ids, [2] pos -> tile id (single sample; vmap over batch)."""
-    return ids[pos[0], pos[1]]
-
-
 def _pos_mask(h: int, w: int, pos: jax.Array) -> jax.Array:
     """[..., 2] int coords -> [..., H, W] bool one-hot position mask.
 
@@ -84,19 +79,26 @@ def transition(ids: jax.Array, pos: jax.Array, action: jax.Array,
     delta = _DELTAS[action]
 
     def step_one(ids1, pos1, delta1, coins1, done1):
+        def tile_at(pos):
+            # dense masked-sum lookup (same rationale as _pos_mask: TPU
+            # gathers serialize inside the scan; 256 fused lanes don't)
+            return jnp.sum(jnp.where(_pos_mask(h, w, pos),
+                                     ids1.astype(jnp.int32), 0))
+
         prop = jnp.clip(pos1 + delta1, 0, hi)
-        blocked = _tile_at(ids1, prop) == WALL
+        blocked = tile_at(prop) == WALL
         new_pos = jnp.where(blocked, pos1, prop)
         # ice slide: one extra cell if standing on ICE and not blocked
-        on_ice = _tile_at(ids1, new_pos) == ICE
+        on_ice = tile_at(new_pos) == ICE
         prop2 = jnp.clip(new_pos + delta1, 0, hi)
-        slide = on_ice & (_tile_at(ids1, prop2) != WALL)
+        slide = on_ice & (tile_at(prop2) != WALL)
         new_pos = jnp.where(slide, prop2, new_pos)
         # frozen if already done
         new_pos = jnp.where(done1, pos1, new_pos)
 
-        tile = _tile_at(ids1, new_pos)
-        fresh_coin = (tile == COIN) & ~coins1[new_pos[0], new_pos[1]]
+        at_new = _pos_mask(h, w, new_pos)
+        tile = tile_at(new_pos)
+        fresh_coin = (tile == COIN) & ~jnp.any(at_new & coins1)
         reward = (-p.step_penalty
                   + p.goal_reward * (tile == GOAL)
                   - p.hazard_penalty * (tile == HAZARD)
@@ -104,8 +106,7 @@ def transition(ids: jax.Array, pos: jax.Array, action: jax.Array,
                   + p.coin_reward * fresh_coin)
         reward = jnp.where(done1, 0.0, reward)
         new_done = done1 | (tile == GOAL)
-        take = _pos_mask(h, w, new_pos) & (fresh_coin & ~done1)
-        new_coins = coins1 | take
+        new_coins = coins1 | (at_new & (fresh_coin & ~done1))
         return new_pos, reward, new_done, new_coins
 
     return jax.vmap(step_one)(ids, pos, delta, coins_taken, done)

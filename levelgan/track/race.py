@@ -52,10 +52,17 @@ def init_cars(batch: int) -> CarState:
 
 
 def _seg_lookup(per_seg: jax.Array, s: jax.Array) -> jax.Array:
-    """per_seg [B, T], s [B] -> value of the segment containing s."""
+    """per_seg [B, T], s [B] -> value of the segment containing s.
+
+    Dense one-hot contraction instead of take_along_axis: TPU gathers
+    serialize — the race_curriculum_32 trace showed the two in-scan
+    lookups costing 0.43 ms/step, 24% of the whole step
+    (artifacts/profile_race_curriculum_32.md) — while a [B, T] compare +
+    masked sum at T=32 fuses into the surrounding elementwise work."""
     t = per_seg.shape[-1]
     idx = jnp.clip(jnp.floor(s).astype(jnp.int32) % t, 0, t - 1)
-    return jnp.take_along_axis(per_seg, idx[:, None], axis=1)[:, 0]
+    mask = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) == idx[:, None]
+    return jnp.sum(jnp.where(mask, per_seg, 0.0), axis=1)
 
 
 def observe(tracks: jax.Array, car: CarState, p: RaceParams) -> jax.Array:
@@ -66,7 +73,12 @@ def observe(tracks: jax.Array, car: CarState, p: RaceParams) -> jax.Array:
     idx0 = jnp.floor(car.s).astype(jnp.int32)
     offs = jnp.arange(p.preview)
     idx = (idx0[:, None] + offs[None, :]) % t
-    preview = jnp.take_along_axis(kappa, idx, axis=1)
+    # dense window lookup (see _seg_lookup rationale): [B, P, T] one-hot
+    # mask contracted against kappa — 64x8x32 fused MACs vs a serialized
+    # gather per (car, preview) pair
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, t), 2)
+            == idx[:, :, None])
+    preview = jnp.sum(jnp.where(mask, kappa[:, None, :], 0.0), axis=-1)
     w_here = _seg_lookup(width, car.s)
     return jnp.concatenate([
         jnp.stack([car.v, car.d / (w_here * 0.5 + 1e-6),
