@@ -134,6 +134,42 @@ def test_unpack_levels_pure():
         packed = np.stack(planes, axis=-1).reshape(3, -1)
         np.testing.assert_array_equal(
             unpack_levels(packed, 16), ids.reshape(3, 16, 16))
+        # streaming form: unpack into a slice of a larger preallocated
+        # (uninitialized) result — must assign, not OR into stale bytes
+        big = np.full((5, 16, 16), 0xFF, np.uint8)
+        ret = unpack_levels(packed, 16, out=big[1:4])
+        np.testing.assert_array_equal(ret, ids.reshape(3, 16, 16))
+        np.testing.assert_array_equal(big[1:4], ids.reshape(3, 16, 16))
+
+
+def test_generate_streamed_chunks_match_single_pull(tmp_path):
+    """generate() streams chunk unpacks into one preallocated array; a
+    multi-chunk run with a ragged tail must equal the per-batch program
+    outputs stitched together (same seed → same key split sequence)."""
+    from levelgan.api import generate, make_generate_fn
+
+    cfg = preset("toy_dcgan_16").override(
+        **TINY, **{"train.steps": 1, "io.out_dir": str(tmp_path)})
+    res = train(cfg, echo=False)
+    params = jax.device_get(res["state"].generator)
+
+    # batch 4, n 10: two full batches + tail program of 1 batch (12 rows
+    # computed, 10 returned)
+    out = generate(cfg, params, 10, seed=3, batch_size=4)
+    assert out.shape == (10, 16, 16) and out.dtype == np.uint8
+    assert out.max() < cfg.model.n_tiles
+
+    # reference: replay generate()'s documented key schedule with the
+    # single-batch program (nb_per_dispatch covers all 3 batches in one
+    # block here, so one key drives the whole block's fori_loop)
+    key = jax.random.key(3)
+    _, sub = jax.random.split(key)
+    keys = jax.random.split(sub, 3)
+    gen_fn = make_generate_fn(cfg, 4, pack=True)
+    from levelgan.api import unpack_levels
+    chunks = [unpack_levels(np.asarray(gen_fn(params, keys[i])), 16)
+              for i in range(3)]
+    np.testing.assert_array_equal(out, np.concatenate(chunks)[:10])
 
 
 def test_progress_gif_cli(tmp_path):
