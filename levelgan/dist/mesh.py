@@ -61,6 +61,30 @@ def make_mesh(dp: int = 0, devices=None, tp: int = 1) -> Mesh:
                 (DATA_AXIS, MODEL_AXIS))
 
 
+def tp_param_sharding(mesh: Mesh, tree):
+    """Channel-sharded NamedSharding tree for a params/optimizer pytree.
+
+    The SURVEY.md §2.3 TP hook, end to end: on a mesh with a 'model' axis,
+    every weight whose trailing (output-channel) axis divides the axis size
+    — conv HWIO kernels, dense (in, out) kernels, and their Adam moments,
+    which share the params' shapes — gets ``P(None, ..., 'model')``;
+     1-D norm scales/biases, scalars, and RNG keys stay replicated.  XLA's
+    GSPMD partitioner reconciles the mix (it is semantics-preserving), so
+    this is the *entire* TP implementation: no model or step code changes.
+    ``tree`` may be real arrays or ``jax.eval_shape`` structs.
+    """
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        if tp > 1 and len(shape) >= 2 and shape[-1] % tp == 0:
+            spec = [None] * (len(shape) - 1) + [MODEL_AXIS]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, tree)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading axis sharded across 'data'."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -97,6 +97,53 @@ def test_2d_mesh_expresses_channel_sharding(devices8):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_tp_sharded_train_step_matches_replicated(devices8):
+    """The FULL vanilla-GAN train step on a (data=4, model=2) mesh with
+    channel-sharded weights (tp_param_sharding) must reproduce the
+    replicated single-device step — TP as pure annotation, collectives
+    emitted by GSPMD."""
+    from levelgan.dist.mesh import tp_param_sharding
+
+    cfg = preset("toy_dcgan_16").override(**TINY)
+    rng = np.random.default_rng(0)
+    batches = [rng.integers(0, 8, size=(16, 16, 16)).astype(np.uint8)
+               for _ in range(2)]
+
+    state1, m1 = _run_steps(cfg, make_mesh(1), batches)
+
+    mesh = make_mesh(4, tp=2)
+    shapes = jax.eval_shape(lambda k: create_state(cfg, k),
+                            jax.random.key(0))
+    st_shard = tp_param_sharding(mesh, shapes)
+    # sanity: at least one conv kernel actually ends up 'model'-sharded
+    specs = [s.spec for s in jax.tree_util.tree_leaves(st_shard)]
+    assert any("model" in (ax for ax in sp if ax) for sp in specs)
+
+    b_shard = NamedSharding(mesh, P("data"))
+    state = jax.jit(lambda k: create_state(cfg, k), out_shardings=st_shard)(
+        jax.random.key(0))
+    # pin the OUTPUT state to the same shardings: left free, GSPMD may
+    # re-shard outputs and the next call's in_shardings check rejects them
+    repl = replicated_sharding(mesh)
+    m_shapes = jax.eval_shape(make_gan_step(cfg), shapes,
+                              jax.ShapeDtypeStruct((16, 16, 16), np.uint8))[1]
+    step = jax.jit(make_gan_step(cfg), in_shardings=(st_shard, b_shard),
+                   out_shardings=(st_shard,
+                                  jax.tree_util.tree_map(
+                                      lambda _: repl, m_shapes)))
+    for b in batches:
+        state, m = step(state, jax.device_put(b, b_shard))
+    state_tp, m_tp = jax.device_get(state), jax.device_get(m)
+
+    np.testing.assert_allclose(m1["d_loss"], m_tp["d_loss"], rtol=2e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=5e-4, atol=5e-6),
+        state1.generator, state_tp.generator)
+
+
 def test_batch_not_divisible_rejected(devices8):
     from levelgan.api import train
     cfg = preset("toy_dcgan_16").override(

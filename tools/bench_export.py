@@ -88,6 +88,8 @@ def main(argv=None):
 
     from levelgan import api
     from levelgan.config import preset
+    from tools.bench_all import _enable_compile_cache
+    _enable_compile_cache()
 
     cfg = preset(args.preset)
     m = cfg.model

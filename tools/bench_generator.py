@@ -76,6 +76,9 @@ def main(argv=None):
     ap.add_argument("--out", default="artifacts/bench_generator.json")
     args = ap.parse_args(argv)
 
+    from tools.bench_all import _enable_compile_cache
+    _enable_compile_cache()
+
     from levelgan.config import preset
     cfg = preset(args.preset)
     out = {"preset": args.preset, "batch_size": cfg.train.batch_size,

@@ -193,6 +193,9 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=25)
     args = ap.parse_args(argv)
 
+    from tools.bench_all import _enable_compile_cache
+    _enable_compile_cache()
+
     from levelgan.cli.train import parse_overrides
     overrides = parse_overrides(args.set)
     suffix = "_pallas" if str(
