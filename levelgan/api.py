@@ -121,14 +121,24 @@ def unpack_levels(packed: np.ndarray, level_size: int,
     b = packed.shape[0]
     hw = level_size * level_size
     bits = packed.shape[1] * 8 // hw
-    grp = packed.reshape(b, hw // 8, bits)
-    # np.unpackbits runs the byte->bit expansion in C. The earlier
-    # broadcasting form (grp >> shifts & 1 per plane) materialized ~150 MB
-    # temporaries per op and took 16-44 s for a 37k-level gumbel_64 pull on
-    # this 1-core host — 10-20x the D2H transfer it postprocesses.
     if out is None:
         out = np.empty((b, level_size, level_size), np.uint8)
     flat = out.reshape(b, hw)
+    # Native tier first: a single pass over the packed bytes (spread-LUT,
+    # one 8-byte store per 8-tile group) in levelgan/native/unpack.c —
+    # ~10x the NumPy form on the 1-core host. Requires both sides
+    # C-contiguous (the export path's buffers always are).
+    if packed.flags.c_contiguous and flat.flags.c_contiguous:
+        from levelgan.native import (unpack_native_available,
+                                     unpack_planes_native)
+        if unpack_native_available():
+            unpack_planes_native(packed, bits, flat)
+            return out
+    # NumPy fallback. np.unpackbits runs the byte->bit expansion in C. The
+    # earlier broadcasting form (grp >> shifts & 1 per plane) materialized
+    # ~150 MB temporaries per op and took 16-44 s for a 37k-level gumbel_64
+    # pull on this 1-core host — 10-20x the D2H transfer it postprocesses.
+    grp = packed.reshape(b, hw // 8, bits)
     for j in range(bits):
         plane = np.unpackbits(np.ascontiguousarray(grp[:, :, j]),
                               axis=1, bitorder="little")

@@ -80,3 +80,36 @@ def test_native_speedup():
     synthetic_corpus(n, size, seed=0)
     t_py = time.perf_counter() - t0
     assert t_native < t_py / 5, (t_native, t_py)
+
+
+def test_native_unpack_parity():
+    """C unpack == NumPy unpack on random packed buffers, all plane widths,
+    including the streaming out=-slice form."""
+    import numpy as np
+
+    from levelgan.api import unpack_levels
+    from levelgan.native import unpack_native_available, unpack_planes_native
+
+    if not unpack_native_available():
+        import pytest
+        pytest.skip("no C compiler for the native tier")
+
+    rng = np.random.default_rng(0)
+    for bits in (1, 2, 3, 4, 7, 8):
+        for size in (16, 64):
+            hw = size * size
+            packed = rng.integers(
+                0, 256, size=(5, hw * bits // 8), dtype=np.uint8)
+            # NumPy oracle: force the fallback by calling the plane loop on
+            # a Fortran-ordered copy (non-contiguous -> numpy path)
+            ref = unpack_levels(np.asfortranarray(packed), size)
+            got = unpack_levels(packed, size)
+            np.testing.assert_array_equal(got, ref)
+            # streaming slice form
+            big = np.full((7, size, size), 0xAB, np.uint8)
+            unpack_levels(packed, size, out=big[1:6])
+            np.testing.assert_array_equal(big[1:6], ref)
+            # direct native call parity too (exercises the binding)
+            out2 = np.empty((5, hw), np.uint8)
+            unpack_planes_native(packed, bits, out2)
+            np.testing.assert_array_equal(out2.reshape(5, size, size), ref)
