@@ -110,6 +110,10 @@ def main(argv=None):
     state = jax.jit(lambda k: api.make_state(cfg, k))(jax.random.key(0))
     params_g = eval_generator_params(state)
 
+    # Conditional presets need a condition vector; throughput does not
+    # depend on its value, so bench with a fixed mid-range one.
+    cond_vec = ([0.3] * m.cond_dim) if m.cond_dim else None
+
     # --- compute+pack-only: same program, on-device sink -----------------
     nb_sink = 8
     gen_fn = api.make_generate_fn(cfg, args.batch, pack=True)
@@ -119,11 +123,14 @@ def main(argv=None):
         keys = jax.random.split(key, nb_sink)
 
         def body(i, acc):
-            ids = gen_fn(pg, keys[i], None)
+            ids = gen_fn(pg, keys[i], cond_dev)
             return acc + jnp.sum(ids.astype(jnp.int32))
 
         return jax.lax.fori_loop(0, nb_sink, body, jnp.int32(0))
 
+    cond_dev = (jnp.broadcast_to(jnp.asarray(cond_vec, jnp.float32),
+                                 (args.batch, m.cond_dim))
+                if cond_vec else None)
     _sync(many_sink(params_g, jax.random.key(1)))    # compile + warm
     comp_rates = []
     for t in range(args.trials):
@@ -141,12 +148,12 @@ def main(argv=None):
     n = int(max(args.batch, min(131072, pred * args.seconds_per_trial)))
     n -= n % args.batch
     n = max(n, args.batch)
-    api.generate(cfg, params_g, args.batch, seed=9,
+    api.generate(cfg, params_g, args.batch, seed=9, cond=cond_vec,
                  batch_size=args.batch)               # warm the jit cache
     e2e_rates = []
     for t in range(args.trials):
         t0 = time.perf_counter()
-        levels = api.generate(cfg, params_g, n, seed=10 + t,
+        levels = api.generate(cfg, params_g, n, seed=10 + t, cond=cond_vec,
                               batch_size=args.batch)
         dt = time.perf_counter() - t0
         assert levels.shape == (n, m.level_size, m.level_size)
