@@ -18,6 +18,8 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from levelgan import rng
 from jax.sharding import PartitionSpec as P, NamedSharding
 
 from levelgan.config import Config
@@ -200,7 +202,7 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
             cond = jnp.broadcast_to(jnp.asarray(cond, jnp.float32),
                                     (batch_size, cfg.model.cond_dim))
         futures = []
-        key = jax.random.key(seed)
+        key = rng.key(cfg, seed)
         for _ in range(0, n, batch_size):
             key, sub = jax.random.split(key)
             futures.append(gen_fn(params_g, sub, cond))
@@ -227,7 +229,7 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
     nb_per_dispatch = max(1, min(n_batches_total,
                                  (8 << 20) // max(per_batch_bytes, 1)))
     futures = []
-    key = jax.random.key(seed)
+    key = rng.key(cfg, seed)
     done = 0
     while done < n_batches_total:
         key, sub = jax.random.split(key)
@@ -383,7 +385,7 @@ def make_device_feed_step(cfg: Config, step_fn, kind: str, mesh):
 
     def fed(state, corpus):
         k = jax.random.fold_in(
-            jax.random.fold_in(jax.random.key(t.seed), _DATA_FOLD), state.step)
+            jax.random.fold_in(rng.key(cfg), _DATA_FOLD), state.step)
         idx = jax.random.randint(k, shape, 0, corpus.shape[0])
         batch = jax.lax.with_sharding_constraint(
             jnp.take(corpus, idx, axis=0), b_sharding)
@@ -433,7 +435,7 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
     # on-device, replicated param init (single program, any mesh size)
     state = jax.jit(
         lambda k: make_state(cfg, k), out_shardings=repl)(
-            jax.random.key(cfg.train.seed))
+            rng.key(cfg))
 
     ckpt_dir = f"{cfg.io.out_dir}/ckpt"
     if cfg.io.resume == "auto":

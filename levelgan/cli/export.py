@@ -16,6 +16,8 @@ import time
 import jax
 import numpy as np
 
+from levelgan import rng
+
 from levelgan.api import generate
 from levelgan.config import Config
 from levelgan.lio.checkpoint import load_checkpoint, load_manifest
@@ -34,7 +36,7 @@ def load_generator(ckpt: str):
     # jit the example-state init: eager init is hundreds of small dispatches
     # (minutes through the dev relay at ~28ms each); jitted it is one
     example = jax.device_get(
-        jax.jit(lambda k: make_state(cfg, k))(jax.random.key(0)))
+        jax.jit(lambda k: make_state(cfg, k))(rng.key(cfg, 0)))
     state, cfg = load_checkpoint(ckpt, example)
     return cfg, state
 

@@ -82,6 +82,20 @@ class TrainConfig:
     lr_schedule: str = "none"
     # EMA decay for the generator's export/eval weights (0 disables).
     ema_decay: float = 0.999
+    # PRNG implementation for every key the framework creates.
+    # 'threefry2x32' (default): layout-invariant randomness — the DP
+    # bit-match-vs-single-device guarantee (tests/test_dist.py) holds.
+    # 'rbg': XLA RngBitGenerator — measured 6.5x faster per 2M-element
+    # gumbel draw on TPU v5e (125 -> 19 us; BASELINE.md round-2 notes);
+    # random streams then depend on sharding layout, so cross-mesh-size
+    # bit-reproducibility is not guaranteed (same-config determinism and
+    # checkpoint resume remain exact).
+    prng_impl: str = "threefry2x32"
+
+    def __post_init__(self):
+        if self.prng_impl not in ("threefry2x32", "rbg"):
+            raise ValueError("train.prng_impl must be 'threefry2x32' or "
+                             f"'rbg', got {self.prng_impl!r}")
 
 
 @dataclass(frozen=True)

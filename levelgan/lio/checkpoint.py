@@ -78,7 +78,18 @@ def flat_to_state(example_state, flat: dict[str, np.ndarray]):
         if name == "step":
             updates["step"] = flat["step"].astype(np.int32)
         elif name == "rng":
-            updates["rng"] = jax.random.wrap_key_data(flat["rng"])
+            # Restore with the impl the run is configured for (the example
+            # state's key carries it). Key-data shapes differ per impl —
+            # threefry2x32 (2,) vs rbg (4,) — so a config/checkpoint impl
+            # mismatch fails loudly here instead of corrupting the stream.
+            impl = jax.random.key_impl(example_state.rng)
+            expect = np.asarray(jax.random.key_data(example_state.rng)).shape
+            if flat["rng"].shape != expect:
+                raise ValueError(
+                    f"checkpoint rng key-data shape {flat['rng'].shape} != "
+                    f"{expect} expected by train.prng_impl={impl}; the "
+                    "checkpoint was written under a different prng_impl")
+            updates["rng"] = jax.random.wrap_key_data(flat["rng"], impl=impl)
         elif name == "g_baseline":
             updates["g_baseline"] = flat.get(
                 "g_baseline", np.zeros((), np.float32))

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from levelgan import rng
 from levelgan.config import Config
 from levelgan.ops.grad_penalty import gradient_penalty
 from levelgan.track.data import KAPPA_MAX, TrackDataset
@@ -34,7 +35,7 @@ def race_params(cfg: Config) -> RaceParams:
 
 def create_track_state(cfg: Config, key=None) -> GANState:
     if key is None:
-        key = jax.random.key(cfg.train.seed)
+        key = rng.key(cfg)
     k_g, k_d, k_root = jax.random.split(key, 3)
     m = cfg.model
     gen, critic = TrackGenerator(m), TrackCritic(m)
@@ -52,7 +53,7 @@ def create_track_state(cfg: Config, key=None) -> GANState:
 
 def create_track_curriculum_state(cfg: Config, key=None) -> CurriculumState:
     if key is None:
-        key = jax.random.key(cfg.train.seed)
+        key = rng.key(cfg)
     k_gan, k_as, k_aw = jax.random.split(key, 3)
     base = create_track_state(cfg, k_gan)
     rp = race_params(cfg)

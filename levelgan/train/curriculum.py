@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from levelgan import rng
 from levelgan.config import Config
 from levelgan.data.codec import decode
 from levelgan.data.features import level_features
@@ -55,7 +56,7 @@ def make_agent_optimizers(cfg: Config):
 
 def create_curriculum_state(cfg: Config, key=None) -> CurriculumState:
     if key is None:
-        key = jax.random.key(cfg.train.seed)
+        key = rng.key(cfg)
     k_gan, k_as, k_aw = jax.random.split(key, 3)
     base = create_state(cfg, k_gan)
     a_s = init_agent(k_as, cfg.model)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from levelgan import rng
 from levelgan.config import Config
 from levelgan.models import Critic, Generator
 
@@ -57,7 +58,7 @@ def create_state(cfg: Config, key: jax.Array | None = None) -> GANState:
     """Initialize params + optimizer state. Call under jit/sharding for
     on-device init (api.train does)."""
     if key is None:
-        key = jax.random.key(cfg.train.seed)
+        key = rng.key(cfg)
     k_g, k_d, k_root = jax.random.split(key, 3)
     m = cfg.model
     gen, critic = Generator(m), Critic(m)

@@ -18,6 +18,8 @@ import time
 
 import numpy as np
 
+from levelgan import rng
+
 PRESETS = ("toy_dcgan_16", "wgan_gp_32", "gumbel_64", "conditional_32",
            "curriculum_16", "racetrack_32", "race_curriculum_32")
 
@@ -62,7 +64,7 @@ def bench_preset(name: str, k: int, trials: int,
     step_fn, kind = make_step_fn(cfg)
     b_shard = NamedSharding(mesh, batch_spec(kind, multi=True))
     state = jax.jit(lambda key: make_state(cfg, key), out_shardings=repl)(
-        jax.random.key(0))
+        rng.key(cfg, 0))
     feed_device = cfg.data.feed == "device"
     if feed_device:
         # Shipped path: corpus staged in HBM once; each dispatch carries no

@@ -31,6 +31,8 @@ import time
 
 import numpy as np
 
+from levelgan import rng
+
 
 def _sync(x) -> float:
     return float(np.asarray(x).ravel()[0])
@@ -107,7 +109,7 @@ def main(argv=None):
 
     # --- params (ckpt load excluded by protocol) -------------------------
     from levelgan.train.state import eval_generator_params
-    state = jax.jit(lambda k: api.make_state(cfg, k))(jax.random.key(0))
+    state = jax.jit(lambda k: api.make_state(cfg, k))(rng.key(cfg, 0))
     params_g = eval_generator_params(state)
 
     # Conditional presets need a condition vector; throughput does not
@@ -131,11 +133,11 @@ def main(argv=None):
     cond_dev = (jnp.broadcast_to(jnp.asarray(cond_vec, jnp.float32),
                                  (args.batch, m.cond_dim))
                 if cond_vec else None)
-    _sync(many_sink(params_g, jax.random.key(1)))    # compile + warm
+    _sync(many_sink(params_g, rng.key(cfg, 1)))    # compile + warm
     comp_rates = []
     for t in range(args.trials):
         t0 = time.perf_counter()
-        _sync(many_sink(params_g, jax.random.key(2 + t)))
+        _sync(many_sink(params_g, rng.key(cfg, 2 + t)))
         dt = time.perf_counter() - t0
         comp_rates.append(nb_sink * args.batch / dt)
     comp_rate = float(np.median(comp_rates))

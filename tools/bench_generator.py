@@ -23,13 +23,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from levelgan import rng
+
 
 def bench(cfg, use_pallas: bool, mode: str, k: int, trials: int) -> float:
     from levelgan.models import Generator, sample_head
 
     m = dataclasses.replace(cfg.model, use_pallas=use_pallas)
     gen = Generator(m)
-    key = jax.random.key(0)
+    key = rng.key(cfg, 0)
     z = jax.random.normal(key, (cfg.train.batch_size, m.latent_dim),
                           jnp.float32)
     params = gen.init(key, z)["params"]
@@ -55,7 +57,7 @@ def bench(cfg, use_pallas: bool, mode: str, k: int, trials: int) -> float:
 
     @jax.jit
     def run(z, params):
-        keys = jax.random.split(jax.random.key(1), k)
+        keys = jax.random.split(rng.key(cfg, 1), k)
         (z, params), _ = jax.lax.scan(body, (z, params), keys)
         return z.sum()
 

@@ -23,6 +23,8 @@ import sys
 
 import numpy as np
 
+from levelgan import rng
+
 
 def convert(pt_path: str, out_dir: str) -> str:
     import torch
@@ -44,7 +46,7 @@ def convert(pt_path: str, out_dir: str) -> str:
 
     # Example state provides the pytree structure AND fresh defaults for
     # anything the .pt layout does not carry (rng, g_ema, agent optimizers).
-    example = jax.device_get(make_state(cfg, jax.random.key(cfg.train.seed)))
+    example = jax.device_get(make_state(cfg, rng.key(cfg)))
     flat = state_to_flat(example)
 
     def add(prefix: str, node):

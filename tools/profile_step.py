@@ -31,6 +31,8 @@ import time
 
 import numpy as np
 
+from levelgan import rng
+
 
 def capture(name: str, k: int, overrides: dict | None):
     import jax
@@ -49,7 +51,7 @@ def capture(name: str, k: int, overrides: dict | None):
     ds = make_dataset(cfg)
     step_fn, kind = make_step_fn(cfg)
     state = jax.jit(lambda key: make_state(cfg, key), out_shardings=repl)(
-        jax.random.key(0))
+        rng.key(cfg, 0))
     corpus_dev = jax.device_put(corpus_array(ds), repl)
     fed = make_device_feed_step(cfg, step_fn, kind, mesh)
     multi = jax.jit(make_multi_step_device(fed, k), donate_argnums=(0,),
