@@ -76,15 +76,24 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=300)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--out", default="artifacts/bench_generator.json")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="dotted config override, e.g. --set "
+                         "model.level_size=128 for at-scale shape probes")
     args = ap.parse_args(argv)
 
     from tools.bench_all import _enable_compile_cache
     _enable_compile_cache()
 
+    from levelgan.cli.train import parse_overrides
     from levelgan.config import preset
+    overrides = parse_overrides(args.set)
     cfg = preset(args.preset)
+    if overrides:
+        cfg = cfg.override(**overrides)
     out = {"preset": args.preset, "batch_size": cfg.train.batch_size,
            "k": args.k, "backend": jax.default_backend()}
+    if overrides:
+        out["overrides"] = overrides
     for mode in ("fwd", "train"):
         for up in (False, True):
             ms = bench(cfg, up, mode, args.k, args.trials)
