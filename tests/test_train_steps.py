@@ -164,3 +164,22 @@ def test_gan_step_r1_penalty(tiny_gan_cfg):
                for a, bb in zip(l0, l1))
     for k in ("d_loss", "g_loss"):
         assert np.isfinite(float(m1[k])), k
+
+
+@pytest.mark.slow
+def test_wgan_step_at_128_scale_headroom():
+    """The config composes unchanged past the reference's 64x64 ceiling
+    (BASELINE.md "Scale headroom"): level_size=128 grows the nets by one
+    octave and one full WGAN-GP step runs with finite losses and
+    right-shaped samples."""
+    cfg = preset("wgan_gp_32").override(**{**TINY,
+        "model.level_size": 128, "train.batch_size": 4,
+        "train.n_critic": 1, "data.corpus_size": 8})
+    state = create_state(cfg)
+    step = jax.jit(make_wgan_gp_step(cfg))
+    state, metrics = step(state, _batch(cfg, n_critic=cfg.train.n_critic))
+    for k in ("d_loss", "g_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    from levelgan.api import generate
+    levels = generate(cfg, state.generator, n=4, seed=0)
+    assert levels.shape == (4, 128, 128) and levels.dtype == np.uint8
