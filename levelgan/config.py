@@ -40,6 +40,15 @@ class ModelConfig:
     # Conditioning (config 4): 0 = unconditional; >0 = feature-vector dim
     cond_dim: int = 0
     cond_embed_dim: int = 32
+    # How the CRITIC consumes the condition (the generator always uses
+    # embed+FiLM).  'concat' broadcasts the embedding to H x W and stacks it
+    # as input channels — the reference-shaped choice, but every critic conv
+    # in fwd/bwd/GP-double-bwd then pays for cond_embed_dim extra channels
+    # at full resolution.  'projection' (Miyato & Koyama 2018) scores
+    # D(x,c) = psi(phi(x)) + <W_p embed(c), sum_hw phi(x)>: the trunk stays
+    # unconditional and the condition enters as one inner product at the
+    # head — measured step-time numbers for both in BASELINE.md.
+    cond_mode: str = "concat"
     critic_base_channels: int = 64
     dtype: str = "bfloat16"       # activation dtype on TPU; params stay f32
     use_pallas: bool = False      # swap XLA fallback blocks for Pallas kernels
@@ -55,6 +64,10 @@ class ModelConfig:
             raise ValueError(
                 f"model.pallas_gp must be 'auto'|'fused'|'core'|'xla', "
                 f"got {self.pallas_gp!r}")
+        if self.cond_mode not in ("concat", "projection"):
+            raise ValueError(
+                f"model.cond_mode must be 'concat'|'projection', "
+                f"got {self.cond_mode!r}")
 
 
 @dataclass(frozen=True)

@@ -412,6 +412,10 @@ def fused_supported(mcfg) -> bool:
     if not (mcfg.family == "tile" and mcfg.level_size in (16, 32)
             and mcfg.norm in ("group", "none")):
         return False
+    if mcfg.cond_dim and mcfg.cond_mode != "concat":
+        # the kernel mirrors the concat architecture (embed_cat + plain
+        # Dense head); projection conditioning routes to the generic paths
+        return False
     c0, layers, _cl = _arch(mcfg)
     itemsize = jnp.dtype(mcfg.dtype).itemsize
     return _usage(1, mcfg.level_size // 2, c0, layers, itemsize) <= _VMEM_BUDGET

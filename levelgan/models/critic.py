@@ -4,8 +4,10 @@ Reference equivalent: torch ``Discriminator(nn.Module)`` (SURVEY.md R3).
 One module serves both roles: raw score output; vanilla GAN treats it as a
 logit (BCE), WGAN-GP as a critic value.  GroupNorm (never BatchNorm) so the
 WGAN gradient penalty stays per-sample valid, skipped on the first layer per
-standard WGAN-GP practice.  Conditioning: condition embedding is broadcast
-and concatenated as extra input channels.
+standard WGAN-GP practice.  Conditioning (``cond_mode``): 'concat' broadcasts
+the condition embedding as extra input channels (reference-shaped);
+'projection' adds <W_p emb(c), sum_hw phi(x)> at the head (Miyato & Koyama
+2018, arXiv:1802.05637) — same information path, no extra trunk channels.
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ class Critic(nn.Module):
         chans = [min(cfg.critic_base_channels * 2 ** i, cfg.max_channels)
                  for i in range(n)]
 
+        emb = None
         if cfg.cond_dim:
             if cond is None:
                 raise ValueError("conditional critic called without cond")
@@ -42,9 +45,10 @@ class Critic(nn.Module):
                 cfg.cond_embed_dim, dtype=dtype, param_dtype=jnp.float32,
                 kernel_init=nn.initializers.normal(0.02), name="cond_embed")(
                     cond.astype(dtype)), cfg.leaky_slope)
-            emb = jnp.broadcast_to(emb[:, None, None, :],
-                                   x.shape[:3] + (emb.shape[-1],))
-            x = jnp.concatenate([x, emb], axis=-1)
+            if cfg.cond_mode == "concat":
+                embc = jnp.broadcast_to(emb[:, None, None, :],
+                                        x.shape[:3] + (emb.shape[-1],))
+                x = jnp.concatenate([x, embc], axis=-1)
 
         for i, ch in enumerate(chans):
             x = nn.Conv(ch, (4, 4), strides=(2, 2), padding="SAME",
@@ -59,8 +63,20 @@ class Critic(nn.Module):
                 x = group_norm(x, gamma, beta, cfg.group_size).astype(dtype)
             x = leaky_relu(x, cfg.leaky_slope)
 
+        phi = x  # final trunk features [B, 4, 4, chans[-1]]
         x = x.reshape(x.shape[0], -1)
         score = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
                          kernel_init=nn.initializers.normal(0.02),
                          name="head")(x.astype(jnp.float32))
-        return score.squeeze(-1)
+        score = score.squeeze(-1)
+        if cfg.cond_dim and cfg.cond_mode == "projection":
+            # D(x,c) = psi(phi(x)) + <W_p emb(c), sum_hw phi(x)> — one
+            # [B,ch] inner product instead of cond_embed_dim extra input
+            # channels through the whole trunk (and its GP double-backward)
+            pooled = phi.astype(jnp.float32).sum(axis=(1, 2))
+            proj = nn.Dense(pooled.shape[-1], dtype=jnp.float32,
+                            param_dtype=jnp.float32,
+                            kernel_init=nn.initializers.normal(0.02),
+                            name="cond_proj")(emb.astype(jnp.float32))
+            score = score + jnp.sum(proj * pooled, axis=-1)
+        return score

@@ -201,3 +201,20 @@ def test_wgan_step_with_pallas_gp():
     state, metrics = step(state, batch)
     for k in ("d_loss", "g_loss", "gp", "wdist"):
         assert np.isfinite(float(metrics[k])), k
+
+
+def test_fused_unsupported_for_projection_conditioning():
+    """The stage-(c) kernel embodies the concat architecture; projection
+    conditioning must be excluded from its support set (and 'fused' must
+    fail loudly rather than compute the wrong gradient)."""
+    import dataclasses
+
+    from levelgan.kernels.critic_grad import (fused_supported,
+                                              make_gradient_penalty)
+
+    m = _critic_cfg(16, cond_dim=4)
+    assert fused_supported(m)
+    mp = dataclasses.replace(m, cond_mode="projection")
+    assert not fused_supported(mp)
+    with pytest.raises(ValueError, match="fused"):
+        make_gradient_penalty(dataclasses.replace(mp, pallas_gp="fused"))

@@ -51,6 +51,38 @@ def test_conditional_paths():
     assert not np.allclose(np.asarray(s1), np.asarray(s2))
 
 
+def test_conditional_projection_mode():
+    """cond_mode='projection': condition enters at the head, trunk stays
+    unconditional — score is cond-sensitive, gradients flow to the
+    projection params and to x, and the trunk param tree is identical to
+    the unconditional critic's plus {cond_embed, cond_proj}."""
+    m = ModelConfig(level_size=16, cond_dim=4, cond_mode="projection",
+                    base_channels=16, group_size=8, latent_dim=8)
+    gen, critic, pg, pd, z, x, cond = _init(m)
+    # non-zero input: the projection term is <W_p emb(c), sum_hw phi(x)>,
+    # identically zero on an all-zero feature map
+    x = jax.random.normal(jax.random.key(7), x.shape)
+    s1 = critic.apply({"params": pd}, x, jnp.zeros((2, 4)))
+    s2 = critic.apply({"params": pd}, x, jnp.ones((2, 4)))
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))
+    assert "cond_proj" in pd
+    # trunk unchanged vs unconditional: down0 sees only n_tiles channels
+    assert pd["down0"]["kernel"].shape[2] == m.n_tiles
+
+    # non-zero cond too: with the default zero bias, emb(0)=0 and the
+    # d/dW_p outer product emb^T (x) pooled vanishes identically
+    cond = jnp.ones((2, 4))
+
+    def loss(pd, x):
+        return critic.apply({"params": pd}, x, cond).sum()
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(pd, x)
+    assert float(jnp.abs(gp["cond_proj"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(gx).sum()) > 0
+    with pytest.raises(ValueError):
+        ModelConfig(cond_mode="nope")
+
+
 def test_sample_heads():
     logits = jax.random.normal(jax.random.key(0), (4, 8, 8, 6))
     key = jax.random.key(1)

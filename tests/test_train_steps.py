@@ -166,6 +166,19 @@ def test_gan_step_r1_penalty(tiny_gan_cfg):
         assert np.isfinite(float(m1[k])), k
 
 
+def test_wgan_step_projection_conditioning():
+    """conditional_32 with cond_mode='projection' trains: one WGAN-GP step
+    (cond features + FiLM G + projection critic + GP through the
+    projection head) runs with finite losses."""
+    cfg = preset("conditional_32").override(**TINY, **{
+        "train.n_critic": 2, "model.cond_mode": "projection"})
+    state = create_state(cfg)
+    step = jax.jit(make_wgan_gp_step(cfg))
+    state, m = step(state, _batch(cfg, n_critic=2))
+    for k in ("d_loss", "g_loss", "gp"):
+        assert np.isfinite(float(m[k])), k
+
+
 @pytest.mark.slow
 def test_wgan_step_at_128_scale_headroom():
     """The config composes unchanged past the reference's 64x64 ceiling
