@@ -85,6 +85,37 @@ def test_torch_ckpt_exporter(tmp_path):
     assert int(np.asarray(res2["state"].step)) == 4
 
 
+def test_torch_ckpt_roundtrip_projection_conditioning(tmp_path):
+    """Interop is key-layout-generic: the projection critic's extra params
+    (cond_embed, cond_proj) survive export->.pt->import bit-exactly."""
+    import torch
+
+    from levelgan.api import make_state
+    from levelgan.lio.checkpoint import load_checkpoint
+    from tools.export_torch_ckpt import convert
+    from tools.import_torch_ckpt import convert as import_convert
+
+    cfg = preset("conditional_32").override(
+        **TINY, **{"train.steps": 2, "train.n_critic": 1,
+                   "model.cond_mode": "projection",
+                   "io.out_dir": str(tmp_path)})
+    res = train(cfg, echo=False)
+    out = str(tmp_path / "ckpt.pt")
+    convert(res["checkpoint"], out)
+    loaded = torch.load(out, weights_only=False)
+    assert {"cond_embed", "cond_proj"} <= set(loaded["discriminator"])
+    assert loaded["config"]["model"]["cond_mode"] == "projection"
+
+    imported = import_convert(out, str(tmp_path / "imported"))
+    example = jax.device_get(make_state(cfg, jax.random.key(0)))
+    orig, _ = load_checkpoint(res["checkpoint"], example)
+    rt, _ = load_checkpoint(imported, example)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        orig.discriminator, rt.discriminator)
+
+
 def test_sigterm_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
     """SIGTERM mid-run -> finish dispatch, checkpoint, return; resume is
     bit-exact vs an uninterrupted run (SURVEY.md §5.3 graceful preemption).
