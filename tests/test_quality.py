@@ -1,0 +1,134 @@
+"""Quality-metric tier: on-device solvability (env/solver.py) + diversity
+metrics (lio/quality.py).  The synthetic corpus is playable BY CONSTRUCTION
+(data/dataset.py drunkard's-walk carver), so the solver has a ground-truth
+fixture: corpus solvable_frac must be exactly 1.0."""
+
+import numpy as np
+import pytest
+
+from levelgan.config import EMPTY, GOAL, START, WALL
+from levelgan.data.dataset import synthetic_corpus
+from levelgan.env.solver import reachable, solvable
+from levelgan.lio.quality import (mean_pairwise_hamming, quality_report,
+                                  tile_entropy, unique_fraction)
+
+
+def _room(size=8):
+    """Border-walled open room, no start/goal yet."""
+    g = np.full((size, size), WALL, np.uint8)
+    g[1:-1, 1:-1] = EMPTY
+    return g
+
+
+def test_open_room_is_solvable():
+    g = _room()
+    g[1, 1] = START
+    g[6, 6] = GOAL
+    assert bool(solvable(g[None])[0])
+
+
+def test_walled_off_goal_is_unsolvable():
+    g = _room()
+    g[1, 1] = START
+    # enclose the goal corner completely
+    g[5, 5:7] = WALL
+    g[5:7, 5] = WALL
+    g[6, 6] = GOAL
+    assert not bool(solvable(g[None])[0])
+
+
+def test_no_goal_is_unsolvable():
+    g = _room()
+    g[1, 1] = START
+    assert not bool(solvable(g[None])[0])
+
+
+def test_center_fallback_start():
+    # no START tile -> agent starts at the grid center (env.sim rule)
+    g = _room()
+    g[6, 6] = GOAL
+    assert bool(solvable(g[None])[0])
+
+
+def test_flood_fill_does_not_wrap_edges():
+    # full-height wall column splits the room; goal on the far side.  A
+    # roll-based (wrapping) shift would tunnel across the border and pass.
+    g = _room()
+    g[1, 1] = START
+    g[:, 4] = WALL
+    g[6, 6] = GOAL
+    assert not bool(solvable(g[None])[0])
+    # sanity: removing one wall cell reconnects
+    g2 = g.copy()
+    g2[3, 4] = EMPTY
+    assert bool(solvable(g2[None])[0])
+
+
+def test_reachable_respects_start_on_wall():
+    # degenerate level: center (fallback start) is a wall -> nothing reached
+    g = np.full((8, 8), WALL, np.uint8)
+    g[1, 1] = GOAL
+    r = reachable(g[None])
+    assert not bool(r.any())
+    assert not bool(solvable(g[None])[0])
+
+
+def test_corpus_is_solvable_by_construction():
+    levels = synthetic_corpus(32, 16, seed=7)
+    sol = np.asarray(solvable(levels))
+    assert sol.all(), f"corpus should be playable by construction: {sol}"
+    rep = quality_report(levels, 8, sample=32)
+    assert rep["solvable_frac"] == 1.0
+    assert rep["one_start_frac"] == 1.0
+    assert rep["one_goal_frac"] == 1.0
+
+
+def test_unique_fraction_counts_duplicates():
+    levels = synthetic_corpus(8, 16, seed=3)
+    dup = np.concatenate([levels, levels[:4]])
+    assert unique_fraction(levels) == 1.0
+    assert unique_fraction(dup) == pytest.approx(8 / 12)
+
+
+def test_pairwise_hamming_bounds():
+    a = np.zeros((4, 8, 8), np.uint8)
+    assert mean_pairwise_hamming(a, 8, sample=4) == pytest.approx(0.0)
+    # two level types differing everywhere: mean over ordered distinct pairs
+    # = (# cross pairs) * 1.0 / (k*(k-1)) = (2*2*2) / (4*3)
+    b = a.copy()
+    b[2:] = 1
+    assert mean_pairwise_hamming(b, 8, sample=4) == pytest.approx(8 / 12)
+
+
+def test_tile_entropy_bounds():
+    flat = np.zeros((2, 4, 4), np.uint8)
+    assert tile_entropy(flat, 8) == pytest.approx(0.0)
+    uniform = np.arange(8, dtype=np.uint8).reshape(1, 2, 4).repeat(2, axis=0)
+    assert tile_entropy(uniform, 8) == pytest.approx(np.log(8))
+
+
+@pytest.mark.slow
+def test_eval_quality_cli(tmp_path, capsys):
+    import json
+
+    from levelgan.api import train
+    from levelgan.config import preset
+    from tools.eval_quality import main
+
+    tiny = {
+        "model.base_channels": 16, "model.critic_base_channels": 16,
+        "model.latent_dim": 16, "model.group_size": 8,
+        "train.batch_size": 8, "train.steps": 2, "data.corpus_size": 64,
+        "io.log_every": 100, "io.ckpt_every": 2,
+        "io.out_dir": str(tmp_path),
+    }
+    res = train(preset("toy_dcgan_16").override(**tiny), echo=False)
+    out = tmp_path / "quality.json"
+    assert main(["--ckpt", res["checkpoint"], "--n", "32", "--sample", "16",
+                 "--out", str(out)]) == 0
+    rep = json.loads(out.read_text())
+    assert set(rep) == {"preset", "generated", "corpus", "solvable_gap"}
+    assert rep["corpus"]["solvable_frac"] == 1.0
+    g = rep["generated"]
+    assert 0.0 <= g["solvable_frac"] <= 1.0
+    assert 0.0 <= g["mean_pairwise_hamming"] <= 1.0

@@ -1,0 +1,70 @@
+"""Sample-quality evaluation of a trained checkpoint vs its training corpus.
+
+Beyond the statistical-identity gates (tools/validate), this scores what the
+reference cared about qualitatively (SURVEY.md R7-R9, R12): are the generated
+levels PLAYABLE (on-device flood-fill solver, env/solver.py) and DIVERSE
+(unique fraction, pairwise Hamming, tile entropy), reported side by side with
+the same metrics on the training corpus so "good" has a measured baseline.
+
+Usage: python -m tools.eval_quality --ckpt <dir> [--n 1024] [--out report.json]
+Exit 0 always (reporting tool, not a gate); tile family only — the track
+family's quality story is curvature-band validation in tools/validate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--n", type=int, default=1024,
+                    help="levels to generate for the report")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sample", type=int, default=256,
+                    help="subsample size for pairwise Hamming")
+    ap.add_argument("--out", default="", help="optional JSON output path")
+    args = ap.parse_args(argv)
+
+    from levelgan.api import generate, make_dataset
+    from levelgan.cli.export import load_generator
+    from levelgan.lio.quality import quality_report
+    from levelgan.train.state import eval_generator_params
+
+    cfg, state = load_generator(args.ckpt)
+    if cfg.model.family != "tile":
+        raise SystemExit(
+            f"eval_quality covers the tile family; preset {cfg.preset!r} is "
+            f"family={cfg.model.family!r} (track quality = curvature gate in "
+            "tools/validate)")
+
+    cond = (np.full(cfg.model.cond_dim, 0.25, np.float32)
+            if cfg.model.cond_dim else None)
+    levels = generate(cfg, eval_generator_params(state), args.n,
+                      seed=args.seed, cond=cond)
+    ds = make_dataset(cfg)
+    corpus = ds.levels[:max(args.n, 1)]
+
+    report = {
+        "preset": cfg.preset,
+        "generated": quality_report(levels, cfg.model.n_tiles,
+                                    sample=args.sample, seed=args.seed),
+        "corpus": quality_report(np.asarray(corpus), cfg.model.n_tiles,
+                                 sample=args.sample, seed=args.seed),
+    }
+    report["solvable_gap"] = (report["corpus"]["solvable_frac"]
+                              - report["generated"]["solvable_frac"])
+    text = json.dumps(report, indent=2)
+    print(text)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
