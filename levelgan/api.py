@@ -34,12 +34,17 @@ from levelgan.train.wgan_gp import make_wgan_gp_step
 
 
 @functools.lru_cache(maxsize=32)
-def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False):
+def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
+                     repair: bool = False):
     """jit-compiled batched sampler: (params_g, key, cond) -> uint8 ids.
 
     Export path (SURVEY.md §3.2): z -> G -> argmax decode, all on-device;
     only the uint8 tile ids cross to host.  This is the levels/sec/chip
     benchmark surface (BASELINE.md).
+
+    ``repair=True`` (tile family): place missing START/GOAL tiles at the
+    generator's most-confident positions before packing — see
+    ops/repair.py for the measured motivation.
 
     ``pack=True`` (requires n_tiles <= 128) additionally bit-packs the tile
     ids ON DEVICE at ``ceil(log2(n_tiles))`` bits per tile (bit-plane
@@ -85,6 +90,9 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False):
         logits = gen.apply({"params": params_g}, z, cond)
         ids = decode(sample_head(k_s, logits, export_head,
                                  tau=cfg.model.tau_end))
+        if repair:
+            from levelgan.ops.repair import ensure_start_goal
+            ids = ensure_start_goal(ids, logits)
         if pack:
             # Bit-plane pack: 8 consecutive tiles -> `bits` bytes; byte j
             # holds bit j of each of the 8 tiles (tile k in bit position k).
@@ -99,6 +107,35 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False):
         return ids
 
     return gen_fn
+
+
+@functools.lru_cache(maxsize=32)
+def make_quality_probe(cfg: Config, n: int):
+    """jit program logging training-time playability (io.quality_every):
+    sample ``n`` fresh levels from the eval generator and reduce them to
+    scalar fractions ON DEVICE (env/solver.py flood fill) — only three
+    floats cross to host, so the probe never serializes the train loop
+    the way a level pull would."""
+    from levelgan.data.codec import decode
+    from levelgan.env.solver import solvable, well_formed
+    from levelgan.models import Generator, sample_head
+
+    gen = Generator(cfg.model)
+    export_head = "gumbel" if cfg.model.head == "gumbel" else "argmax"
+
+    @jax.jit
+    def probe(params_g, key, cond=None):
+        k_z, k_s = jax.random.split(key)
+        z = jax.random.normal(k_z, (n, cfg.model.latent_dim), jnp.float32)
+        logits = gen.apply({"params": params_g}, z, cond)
+        ids = decode(sample_head(k_s, logits, export_head,
+                                 tau=cfg.model.tau_end))
+        wf = well_formed(ids)
+        return {"solvable_frac": jnp.mean(solvable(ids).astype(jnp.float32)),
+                "has_start_frac": jnp.mean(wf["has_start"].astype(jnp.float32)),
+                "has_goal_frac": jnp.mean(wf["has_goal"].astype(jnp.float32))}
+
+    return probe
 
 
 def tile_bits(n_tiles: int) -> int:
@@ -153,7 +190,7 @@ def unpack_levels(packed: np.ndarray, level_size: int,
 
 @functools.lru_cache(maxsize=32)
 def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
-                          pack: bool):
+                          pack: bool, repair: bool = False):
     """ONE jit program generating ``n_batches`` batches via lax.fori_loop.
 
     Per-dispatch overhead dominates the export path (especially through the
@@ -161,7 +198,7 @@ def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
     transfer for the whole block.  Measured on gumbel_64: ~8x over
     per-batch dispatch.
     """
-    gen_fn = make_generate_fn(cfg, batch_size, pack=pack)
+    gen_fn = make_generate_fn(cfg, batch_size, pack=pack, repair=repair)
     m = cfg.model
     per = packed_bytes(m) if pack else m.level_size * m.level_size
 
@@ -182,21 +219,24 @@ def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
 
 def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
              batch_size: int = 1024, cond=None,
-             pack: bool | None = None) -> np.ndarray:
+             pack: bool | None = None, repair: bool = False) -> np.ndarray:
     """Generate ``n`` levels.
 
     Tile family: host uint8 [n, H, W]; ``pack=None`` auto-enables on-device
     bit-plane packing for the D2H transfer when the tile vocabulary fits
     under 8 bits AND H*W is a multiple of 8 (the pack groups 8 tiles per
-    byte plane); the result is unpacked on host either way.
+    byte plane); the result is unpacked on host either way.  ``repair=True``
+    guarantees >=1 START and >=1 GOAL per level (ops/repair.py).
     Track family: float32 [n, T, 2] (curvature, width) sequences — packing
-    does not apply (``pack=True`` is rejected).
+    and repair do not apply (both are rejected).
     """
     batch_size = min(batch_size, n)
     if cfg.model.family == "track":
         if pack:
             raise ValueError("pack=True is tile-family only; track export "
                              "returns float32 [n, T, 2] sequences")
+        if repair:
+            raise ValueError("repair=True is tile-family only")
         gen_fn = make_generate_fn(cfg, batch_size)
         if cond is not None:
             cond = jnp.broadcast_to(jnp.asarray(cond, jnp.float32),
@@ -238,7 +278,7 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
         # the full block would compute and transfer up to
         # (nb_per_dispatch-1)*batch_size levels that get thrown away.
         nb = min(nb_per_dispatch, n_batches_total - done)
-        many = make_generate_many_fn(cfg, batch_size, nb, pack)
+        many = make_generate_many_fn(cfg, batch_size, nb, pack, repair)
         out = many(params_g, sub, cond)
         # Kick off the D2H copy as soon as the block's compute retires so
         # transfers overlap later blocks' compute (double-buffered pulls;
@@ -524,6 +564,18 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
     log_every = cfg.io.log_every
     ckpt_every = cfg.io.ckpt_every
     render_every = cfg.io.render_every
+    quality_every = cfg.io.quality_every
+    if quality_every and cfg.model.family != "tile":
+        if echo:
+            print("[levelgan] io.quality_every is tile-family only "
+                  "(track quality = curvature gate); probe disabled")
+        quality_every = 0
+    quality_probe = (make_quality_probe(cfg, cfg.io.quality_n)
+                     if quality_every else None)
+    probe_cond = (jnp.broadcast_to(
+        jnp.full((cfg.model.cond_dim,), 0.25, jnp.float32),
+        (cfg.io.quality_n, cfg.model.cond_dim))
+        if quality_every and cfg.model.cond_dim else None)
 
     def _crossed(every: int, prev: int, cur: int) -> bool:
         # Cadence = boundary crossing, not `cur % every == 0`: a resumed run
@@ -631,6 +683,14 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
                     for name, val in last_metrics.items():
                         if isinstance(val, (int, float)) and name != "step":
                             tb_writer.add_scalar(name, val, i)
+            if _crossed(quality_every, prev_i, i):
+                from levelgan.train.state import eval_generator_params
+                q = jax.device_get(quality_probe(
+                    eval_generator_params(state), rng.key(cfg, i), probe_cond))
+                logger.log(i, **{k: float(v) for k, v in q.items()})
+                if tb_writer is not None:
+                    for name, val in q.items():
+                        tb_writer.add_scalar(name, float(val), i)
             if _crossed(render_every, prev_i, i):
                 from levelgan.train.state import eval_generator_params
                 samples = generate(cfg, eval_generator_params(state), 16, batch_size=16,

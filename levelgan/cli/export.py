@@ -85,6 +85,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cond", default=None,
                     help="comma-separated feature vector (conditional models)")
+    ap.add_argument("--repair", action="store_true",
+                    help="ensure >=1 START and >=1 GOAL per level, placed at "
+                         "the generator's most-confident positions "
+                         "(tile family; ops/repair.py)")
     args = ap.parse_args(argv)
 
     cfg, state = load_generator(args.ckpt)
@@ -100,7 +104,7 @@ def main(argv=None):
     t0 = time.perf_counter()
     from levelgan.train.state import eval_generator_params
     levels = generate(cfg, eval_generator_params(state), args.n, seed=args.seed,
-                      batch_size=args.batch, cond=cond)
+                      batch_size=args.batch, cond=cond, repair=args.repair)
     dt = time.perf_counter() - t0
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)

@@ -159,9 +159,14 @@ class CurriculumConfig:
     value_coef: float = 0.5
     # Generator REINFORCE reward = w_play*playable(strong) - w_anti*playable(weak)
     #                             + w_gap*(return_strong - return_weak)
+    #                             + w_solvable*solvable(level)
     w_play: float = 1.0
     w_anti: float = 0.5
     w_gap: float = 1.0
+    # Deterministic solver reward (env/solver.py flood fill): unlike the
+    # agent terms it is exact and variance-free, directly rewarding levels
+    # whose START->GOAL path exists. 0 = off (reference-shaped reward).
+    w_solvable: float = 0.0
     g_baseline_decay: float = 0.9
     agent_updates_per_step: int = 1
 
@@ -178,6 +183,11 @@ class IOConfig:
     debug_nans: bool = False      # jax_debug_nans (SURVEY.md §5.2 debug mode)
     tensorboard: bool = False     # optional TB scalars (torch SummaryWriter)
     render_every: int = 0         # PNG grid of generated levels every k steps
+    # Every k steps, sample fresh levels and log playability scalars
+    # (solvable/has_start/has_goal fractions via the on-device flood-fill
+    # solver, env/solver.py) into metrics.jsonl. 0 = off. Tile family only.
+    quality_every: int = 0
+    quality_n: int = 256          # levels per quality probe
     # Persistent XLA compilation cache directory ('' = disabled).  First
     # compile of a preset costs 20-40s through the dev relay; a warm cache
     # makes re-runs/resumes start in seconds (SURVEY.md §5.1 ergonomics).

@@ -1,0 +1,75 @@
+"""Opt-in well-formedness repair for decoded levels: ensure START and GOAL.
+
+Motivation (measured — artifacts/quality_wgan_gp_32.json): adversarially
+trained generators mode-drop the rarest structural tiles.  START and GOAL
+are ~0.1% of corpus tiles each, and a trained wgan_gp_32 checkpoint whose
+tile-marginal KL gate PASSES at 0.0023 still emits zero of either, so none
+of its levels are solvable.  The reference's deep fix is the
+agent-in-the-loop curriculum (playability-rewarded training, config 5);
+this op is the cheap standard-PCG fix for the plain GAN families, applied
+at decode time.
+
+Placement is connectivity-aware (the confidence-only first cut measured
+just 10.7% solvable — artifacts/quality_wgan_gp_32_repair.json history):
+START goes to the generator's most-confident NON-WALL cell, then GOAL goes
+to its most-confident cell INSIDE the flood-fill reachable component of
+START (env/solver.py), so a level that receives both placements is
+solvable by construction.  The model still chooses where within those
+masks — repair only constrains, it does not design.  Existing START/GOAL
+tiles are never moved: a level that already has an (unreachable) GOAL
+stays faithful to the model, and stays unsolvable.
+
+On-device and static-shape (runs inside the jit export program): masked
+per-level argmax + one-hot compare placement — no scatters, no host
+round-trip; one extra flood fill per repaired batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from levelgan.config import GOAL, START, WALL
+from levelgan.env.solver import reachable
+
+
+def _place_missing(flat_ids: jax.Array, conf_t: jax.Array, tile: int,
+                   forbidden: jax.Array) -> jax.Array:
+    """Place ``tile`` at argmax(conf_t) in levels that lack it.
+
+    flat_ids uint8 [B, HW]; conf_t [B, HW] confidence for this tile id;
+    forbidden bool [B, HW] cells repair must not overwrite.  If every cell
+    of a level is forbidden the argmax degenerates to cell 0 — callers
+    provide a fallback mask so that only happens on all-WALL levels."""
+    need = ~(flat_ids == tile).any(axis=-1)
+    scores = jnp.where(forbidden, -jnp.inf, conf_t)
+    pos = jnp.argmax(scores, axis=-1)
+    at = jax.nn.one_hot(pos, flat_ids.shape[-1], dtype=bool)
+    return jnp.where((need[:, None] & at), jnp.uint8(tile), flat_ids)
+
+
+def ensure_start_goal(ids: jax.Array, logits: jax.Array) -> jax.Array:
+    """uint8 ids [B, H, W] + generator logits [B, H, W, T] -> repaired ids.
+
+    Levels already containing a START (resp. GOAL) are untouched.  A GOAL
+    placement lands inside START's reachable component (falling back to
+    any non-WALL, non-START cell when that component is just the START
+    cell itself), and never on a START cell."""
+    b = ids.shape[0]
+    flat = ids.reshape(b, -1)
+    conf = jax.nn.log_softmax(logits, axis=-1).reshape(b, -1, logits.shape[-1])
+
+    # START: most-confident passable cell (walls would strand the agent).
+    flat = _place_missing(flat, conf[..., START], START, flat == WALL)
+
+    # GOAL: most-confident cell reachable from START => solvable by
+    # construction when repair places it.  reachable() re-derives the start
+    # position from the (possibly just-repaired) ids.
+    reach = reachable(flat.reshape(ids.shape)).reshape(b, -1)
+    is_start = flat == START
+    connected = reach & ~is_start
+    has_room = connected.any(axis=-1, keepdims=True)
+    fallback = (flat != WALL) & ~is_start
+    placeable = jnp.where(has_room, connected, fallback)
+    flat = _place_missing(flat, conf[..., GOAL], GOAL, ~placeable)
+    return flat.reshape(ids.shape)

@@ -154,6 +154,14 @@ def make_curriculum_step(cfg: Config):
         level_reward = (cur.w_play * play_s
                         - cur.w_anti * play_w
                         + cur.w_gap * (traj_s.total_return - traj_w.total_return))
+        sol = None
+        if cur.w_solvable:
+            # exact, variance-free playability signal alongside the noisy
+            # agent terms (env/solver.py; traced only when enabled — the
+            # while_loop costs nothing in the default reward)
+            from levelgan.env.solver import solvable
+            sol = solvable(level_ids).astype(jnp.float32)
+            level_reward = level_reward + cur.w_solvable * sol
         advantage = jax.lax.stop_gradient(level_reward - state.g_baseline)
 
         def g_loss_fn(lg):
@@ -190,6 +198,8 @@ def make_curriculum_step(cfg: Config):
             "agent_entropy": s_aux["entropy"], "tau": tau,
             "gen_hist": tile_histogram(level_ids, m.n_tiles),
         }
+        if sol is not None:
+            metrics["solvable_frac"] = sol.mean()
         return new_state, metrics
 
     return step_fn

@@ -94,3 +94,19 @@ def test_conditional_curriculum_step_runs(cfg):
         [l for l in jax.tree_util.tree_leaves(new_state.opt_as)
          if np.asarray(l).ndim == 0])
     assert any(int(np.asarray(c)) == 2 for c in count)
+
+
+def test_solvable_reward_term(cfg):
+    """curriculum.w_solvable adds the exact flood-fill playability signal to
+    the REINFORCE reward and surfaces it as a metric."""
+    cfg_s = cfg.override(**{"curriculum.w_solvable": 2.0})
+    state = create_curriculum_state(cfg_s)
+    step = jax.jit(make_curriculum_step(cfg_s))
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 8, size=(2, 8, 16, 16)).astype(np.uint8)
+    new_state, m = step(state, batch)
+    assert "solvable_frac" in m
+    assert 0.0 <= float(m["solvable_frac"]) <= 1.0
+    for k in ("g_loss", "g_rl", "d_loss"):
+        assert np.isfinite(float(m[k])), k
+    assert int(new_state.step) == 1

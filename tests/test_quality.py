@@ -107,6 +107,90 @@ def test_tile_entropy_bounds():
     assert tile_entropy(uniform, 8) == pytest.approx(np.log(8))
 
 
+def test_repair_places_missing_start_and_goal():
+    from levelgan.ops.repair import ensure_start_goal
+
+    rng = np.random.default_rng(0)
+    ids = np.full((3, 6, 6), EMPTY, np.uint8)
+    logits = rng.normal(size=(3, 6, 6, 8)).astype(np.float32)
+    # level 0: lacks both; make the model "most confident" at fixed cells
+    logits[0, 2, 3, START] = 10.0
+    logits[0, 4, 1, GOAL] = 10.0
+    # level 1: already has both -> untouched
+    ids[1, 1, 1] = START
+    ids[1, 4, 4] = GOAL
+    # level 2: START/GOAL confidence peaks on the SAME cell -> GOAL must
+    # yield (never overwrite the placed START)
+    logits[2, 3, 3, START] = 10.0
+    logits[2, 3, 3, GOAL] = 10.0
+
+    out = np.asarray(ensure_start_goal(ids, logits))
+    assert out[0, 2, 3] == START and out[0, 4, 1] == GOAL
+    assert (out[1] == ids[1]).all()
+    assert out[2, 3, 3] == START
+    assert (out[2] == GOAL).sum() == 1 and (out[2] == START).sum() == 1
+    # repair is idempotent and total: every level well-formed
+    for lv in out:
+        assert (lv == START).any() and (lv == GOAL).any()
+    again = np.asarray(ensure_start_goal(out, logits))
+    assert (again == out).all()
+
+
+def test_repair_places_goal_connected_to_start():
+    """GOAL placement is constrained to START's reachable component, so a
+    repaired level is solvable even when the raw confidence peaks in a
+    disconnected chamber."""
+    from levelgan.ops.repair import ensure_start_goal
+
+    g = _room(8)                      # two chambers split by a wall column
+    g[:, 4] = WALL
+    ids = g[None]
+    logits = np.zeros((1, 8, 8, 8), np.float32)
+    logits[0, 2, 2, START] = 10.0     # left chamber
+    logits[0, 2, 6, GOAL] = 10.0      # right chamber (unreachable)
+    logits[0, 5, 1, GOAL] = 5.0       # best reachable goal cell
+    out = np.asarray(ensure_start_goal(ids, logits))
+    assert out[0, 2, 2] == START
+    assert out[0, 2, 6] != GOAL       # confidence peak rejected: disconnected
+    assert out[0, 5, 1] == GOAL
+    assert bool(solvable(out)[0])
+
+    # walls are never chosen for START even at max confidence
+    logits2 = np.zeros((1, 8, 8, 8), np.float32)
+    logits2[0, 0, 0, START] = 50.0    # border wall
+    logits2[0, 3, 3, START] = 1.0
+    out2 = np.asarray(ensure_start_goal(g[None], logits2))
+    assert out2[0, 0, 0] == WALL and out2[0, 3, 3] == START
+
+
+@pytest.mark.slow
+def test_training_quality_probe(tmp_path):
+    """io.quality_every logs on-device playability scalars into
+    metrics.jsonl at its own cadence."""
+    import json
+
+    from levelgan.api import train
+    from levelgan.config import preset
+
+    tiny = {
+        "model.base_channels": 16, "model.critic_base_channels": 16,
+        "model.latent_dim": 16, "model.group_size": 8,
+        "train.batch_size": 8, "train.steps": 4, "data.corpus_size": 64,
+        "train.steps_per_dispatch": 1,   # cadence fires per boundary crossing
+        "io.log_every": 100, "io.ckpt_every": 100,
+        "io.quality_every": 2, "io.quality_n": 8,
+        "io.out_dir": str(tmp_path),
+    }
+    train(preset("toy_dcgan_16").override(**tiny), echo=False)
+    recs = [json.loads(l) for l in
+            (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    probes = [r for r in recs if "solvable_frac" in r]
+    assert {r["step"] for r in probes} == {2, 4}
+    for r in probes:
+        assert 0.0 <= r["solvable_frac"] <= 1.0
+        assert 0.0 <= r["has_goal_frac"] <= 1.0
+
+
 @pytest.mark.slow
 def test_eval_quality_cli(tmp_path, capsys):
     import json
@@ -127,8 +211,17 @@ def test_eval_quality_cli(tmp_path, capsys):
     assert main(["--ckpt", res["checkpoint"], "--n", "32", "--sample", "16",
                  "--out", str(out)]) == 0
     rep = json.loads(out.read_text())
-    assert set(rep) == {"preset", "generated", "corpus", "solvable_gap"}
+    assert set(rep) == {"preset", "repair", "generated", "corpus",
+                        "solvable_gap"}
     assert rep["corpus"]["solvable_frac"] == 1.0
     g = rep["generated"]
     assert 0.0 <= g["solvable_frac"] <= 1.0
     assert 0.0 <= g["mean_pairwise_hamming"] <= 1.0
+
+    # repaired export: every level must have >=1 START and >=1 GOAL
+    assert main(["--ckpt", res["checkpoint"], "--n", "32", "--sample", "16",
+                 "--repair", "--out", str(out)]) == 0
+    rep = json.loads(out.read_text())
+    assert rep["repair"] is True
+    assert rep["generated"]["has_start_frac"] == 1.0
+    assert rep["generated"]["has_goal_frac"] == 1.0

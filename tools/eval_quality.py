@@ -28,7 +28,12 @@ def main(argv=None):
     ap.add_argument("--sample", type=int, default=256,
                     help="subsample size for pairwise Hamming")
     ap.add_argument("--out", default="", help="optional JSON output path")
+    ap.add_argument("--repair", action="store_true",
+                    help="score the repaired export path (ops/repair.py)")
     args = ap.parse_args(argv)
+
+    from tools.bench_all import _enable_compile_cache
+    _enable_compile_cache()
 
     from levelgan.api import generate, make_dataset
     from levelgan.cli.export import load_generator
@@ -45,12 +50,13 @@ def main(argv=None):
     cond = (np.full(cfg.model.cond_dim, 0.25, np.float32)
             if cfg.model.cond_dim else None)
     levels = generate(cfg, eval_generator_params(state), args.n,
-                      seed=args.seed, cond=cond)
+                      seed=args.seed, cond=cond, repair=args.repair)
     ds = make_dataset(cfg)
     corpus = ds.levels[:max(args.n, 1)]
 
     report = {
         "preset": cfg.preset,
+        "repair": bool(args.repair),
         "generated": quality_report(levels, cfg.model.n_tiles,
                                     sample=args.sample, seed=args.seed),
         "corpus": quality_report(np.asarray(corpus), cfg.model.n_tiles,

@@ -24,6 +24,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
+    from tools.bench_all import _enable_compile_cache
+    _enable_compile_cache()
+
     from levelgan.api import generate, make_dataset
     from levelgan.cli.export import load_generator
     from levelgan.lio.metrics import kl_divergence
