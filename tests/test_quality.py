@@ -225,3 +225,46 @@ def test_eval_quality_cli(tmp_path, capsys):
     assert rep["repair"] is True
     assert rep["generated"]["has_start_frac"] == 1.0
     assert rep["generated"]["has_goal_frac"] == 1.0
+
+
+# ---- track family (levelgan/track/quality.py) -----------------------------
+
+def test_track_corpus_is_drivable_by_construction():
+    """The scripted driver laps 100% of corpus tracks; geometry metrics
+    confirm the corpus invariants (closure, kappa/width bounds)."""
+    from levelgan.track.data import synthetic_tracks
+    from levelgan.track.quality import track_quality_report
+
+    rep = track_quality_report(synthetic_tracks(64, 32, seed=5))
+    assert rep["lap_frac"] == 1.0
+    assert rep["closure_ok_frac"] == 1.0
+    assert rep["kappa_violation_frac"] == 0.0
+    assert rep["width_violation_frac"] == 0.0
+    assert rep["mean_progress_segments"] > 32  # more than one lap's length
+    assert rep["mean_pairwise_kappa_l1"] > 0.0
+
+
+def test_track_quality_flags_bad_geometry():
+    from levelgan.track.data import WIDTH_MIN, synthetic_tracks
+    from levelgan.track.quality import track_quality_report
+
+    tracks = synthetic_tracks(8, 32, seed=1).copy()
+    tracks[:, :, 0] = 0.0            # straight line: heading never closes
+    rep = track_quality_report(tracks)
+    assert rep["closure_ok_frac"] == 0.0
+    assert rep["closure_error_rad_mean"] == pytest.approx(2 * np.pi)
+    assert rep["kappa_violation_frac"] == 0.0
+
+    tracks[:, :, 1] = WIDTH_MIN / 4  # absurdly narrow: width bound flags
+    rep = track_quality_report(tracks)
+    assert rep["width_violation_frac"] == 1.0
+
+
+def test_scripted_rollout_deterministic():
+    from levelgan.track.data import synthetic_tracks
+    from levelgan.track.quality import track_quality_report
+
+    tracks = synthetic_tracks(16, 32, seed=9)
+    a = track_quality_report(tracks)
+    b = track_quality_report(tracks)
+    assert a == b

@@ -7,8 +7,9 @@ levels PLAYABLE (on-device flood-fill solver, env/solver.py) and DIVERSE
 the same metrics on the training corpus so "good" has a measured baseline.
 
 Usage: python -m tools.eval_quality --ckpt <dir> [--n 1024] [--out report.json]
-Exit 0 always (reporting tool, not a gate); tile family only — the track
-family's quality story is curvature-band validation in tools/validate.
+Exit 0 always (reporting tool, not a gate). Track family: drivability via
+the deterministic scripted-driver lap test + geometry well-formedness
+(track/quality.py) instead of the tile solver.
 """
 
 from __future__ import annotations
@@ -41,29 +42,39 @@ def main(argv=None):
     from levelgan.train.state import eval_generator_params
 
     cfg, state = load_generator(args.ckpt)
-    if cfg.model.family != "tile":
-        raise SystemExit(
-            f"eval_quality covers the tile family; preset {cfg.preset!r} is "
-            f"family={cfg.model.family!r} (track quality = curvature gate in "
-            "tools/validate)")
-
     cond = (np.full(cfg.model.cond_dim, 0.25, np.float32)
             if cfg.model.cond_dim else None)
-    levels = generate(cfg, eval_generator_params(state), args.n,
-                      seed=args.seed, cond=cond, repair=args.repair)
     ds = make_dataset(cfg)
-    corpus = ds.levels[:max(args.n, 1)]
 
-    report = {
-        "preset": cfg.preset,
-        "repair": bool(args.repair),
-        "generated": quality_report(levels, cfg.model.n_tiles,
-                                    sample=args.sample, seed=args.seed),
-        "corpus": quality_report(np.asarray(corpus), cfg.model.n_tiles,
-                                 sample=args.sample, seed=args.seed),
-    }
-    report["solvable_gap"] = (report["corpus"]["solvable_frac"]
-                              - report["generated"]["solvable_frac"])
+    if cfg.model.family == "track":
+        # track quality is dynamic: the scripted-driver lap test +
+        # geometry well-formedness (track/quality.py)
+        if args.repair:
+            raise SystemExit("--repair is tile-family only")
+        from levelgan.track.quality import track_quality_report
+        tracks = generate(cfg, eval_generator_params(state), args.n,
+                          seed=args.seed, cond=cond)
+        report = {
+            "preset": cfg.preset,
+            "generated": track_quality_report(tracks),
+            "corpus": track_quality_report(ds.tracks[:max(args.n, 1)]),
+        }
+        report["lap_gap"] = (report["corpus"]["lap_frac"]
+                             - report["generated"]["lap_frac"])
+    else:
+        levels = generate(cfg, eval_generator_params(state), args.n,
+                          seed=args.seed, cond=cond, repair=args.repair)
+        corpus = ds.levels[:max(args.n, 1)]
+        report = {
+            "preset": cfg.preset,
+            "repair": bool(args.repair),
+            "generated": quality_report(levels, cfg.model.n_tiles,
+                                        sample=args.sample, seed=args.seed),
+            "corpus": quality_report(np.asarray(corpus), cfg.model.n_tiles,
+                                     sample=args.sample, seed=args.seed),
+        }
+        report["solvable_gap"] = (report["corpus"]["solvable_frac"]
+                                  - report["generated"]["solvable_frac"])
     text = json.dumps(report, indent=2)
     print(text)
     if args.out:
