@@ -85,6 +85,12 @@ class TrainConfig:
     # (reference-default behavior). The plain BCE GAN oscillates on discrete
     # tile data; r1_gamma ~ 0.1-1.0 damps it (measured in BASELINE.md).
     r1_gamma: float = 0.0
+    # Structural-tile presence prior on the generator (ops/presence.py):
+    # hinge penalty on each level's expected START/GOAL count, differentiable
+    # through the relaxed sample. 0 = off (reference-shaped objective). The
+    # in-training fix for the rare-tile mode-drop the quality eval exposes
+    # (BASELINE.md "Sample quality"); tile family only.
+    w_presence: float = 0.0
     seed: int = 0
     # Steps executed per device dispatch (lax.scan over the step fn).
     # >1 amortizes host->device dispatch latency; log/ckpt cadence is
@@ -109,6 +115,9 @@ class TrainConfig:
         if self.prng_impl not in ("threefry2x32", "rbg"):
             raise ValueError("train.prng_impl must be 'threefry2x32' or "
                              f"'rbg', got {self.prng_impl!r}")
+        if self.w_presence < 0:
+            raise ValueError(
+                f"train.w_presence must be >= 0, got {self.w_presence}")
 
 
 @dataclass(frozen=True)

@@ -131,6 +131,11 @@ def make_track_critic_update(cfg: Config):
 
 def make_track_wgan_step(cfg: Config):
     """jit-able WGAN-GP step on tracks. Batch: float32 [n_critic, B, T, 2]."""
+    if cfg.train.w_presence:
+        # loud instead of a silent no-op: tracks have no tile vocabulary
+        raise ValueError("train.w_presence is tile-family only "
+                         "(structural-tile presence prior); track tracks "
+                         "have no START/GOAL tiles")
     m = cfg.model
     gen = TrackGenerator(m)
     tx_g, _ = make_optimizers(cfg)

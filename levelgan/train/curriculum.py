@@ -171,7 +171,13 @@ def make_curriculum_step(cfg: Config):
             logp_map = jax.nn.log_softmax(lg, axis=-1)
             logp = jnp.sum(logp_map * levels_soft, axis=(1, 2, 3))
             rl_term = -(advantage * logp).mean() / (m.level_size ** 2)
-            return gan_term + rl_term, (gan_term, rl_term)
+            loss = gan_term + rl_term
+            if t.w_presence:
+                # structural-tile presence prior (ops/presence.py): direct
+                # pathwise gradient alongside the score-function terms
+                from levelgan.ops.presence import presence_penalty
+                loss = loss + t.w_presence * presence_penalty(fake)
+            return loss, (gan_term, rl_term)
 
         (g_loss, (gan_term, rl_term)), g_logits = jax.value_and_grad(
             g_loss_fn, has_aux=True)(logits)

@@ -99,6 +99,10 @@ def make_gan_step(cfg: Config):
             d_out = critic.apply({"params": params_d}, fake2, cond)
             loss = optax.sigmoid_binary_cross_entropy(
                 d_out, jnp.ones_like(d_out)).mean()
+            if t.w_presence:
+                # structural-tile presence prior (ops/presence.py)
+                from levelgan.ops.presence import presence_penalty
+                loss = loss + t.w_presence * presence_penalty(fake2)
             return loss, fake2
 
         (g_loss, fake2), g_grads = jax.value_and_grad(

@@ -116,6 +116,11 @@ def make_wgan_gp_step(cfg: Config):
         def g_loss_fn(pg):
             fake = g_sample(pg, k_sg, z, cond_g, state.step)
             loss = -d_apply(params_d, fake, cond_g).mean()
+            if t.w_presence:
+                # structural-tile presence prior (ops/presence.py): direct
+                # low-variance gradient against rare-tile mode-drop
+                from levelgan.ops.presence import presence_penalty
+                loss = loss + t.w_presence * presence_penalty(fake)
             return loss, fake
 
         (g_loss, fake), g_grads = jax.value_and_grad(

@@ -1,0 +1,101 @@
+"""Structural-tile presence prior (ops/presence.py, train.w_presence).
+
+The in-training remedy for the measured rare-tile mode-drop
+(BASELINE.md "Sample quality"): hinge penalty on per-level expected
+START/GOAL counts, differentiable through the relaxed sample.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from levelgan.config import GOAL, START, preset
+from levelgan.ops.presence import presence_penalty
+from levelgan.train.state import create_state
+from levelgan.train.wgan_gp import make_wgan_gp_step
+
+from tests.test_train_steps import TINY, _batch
+
+
+def _onehot_level(ids, n_tiles=8):
+    return jax.nn.one_hot(jnp.asarray(ids, jnp.int32), n_tiles,
+                          dtype=jnp.float32)
+
+
+def test_zero_when_tiles_present():
+    ids = np.zeros((2, 4, 4), np.uint8)
+    ids[:, 0, 0] = START
+    ids[:, 3, 3] = GOAL
+    assert float(presence_penalty(_onehot_level(ids))) == 0.0
+
+
+def test_hinge_ignores_extra_tiles():
+    # several STARTs/GOALs satisfy the >=1 hinge just as well as one
+    ids = np.full((1, 4, 4), START, np.uint8)
+    ids[0, :, 2:] = GOAL
+    assert float(presence_penalty(_onehot_level(ids))) == 0.0
+
+
+def test_penalty_on_missing_tiles():
+    ids = np.zeros((2, 4, 4), np.uint8)          # all EMPTY: both missing
+    # deficit 1.0 for each of the 2 structural tiles -> mean of squares = 1
+    assert float(presence_penalty(_onehot_level(ids))) == pytest.approx(1.0)
+    ids[0, 1, 1] = START
+    ids[0, 2, 2] = GOAL                          # level 0 fixed, level 1 not
+    assert float(presence_penalty(_onehot_level(ids))) == pytest.approx(0.5)
+
+
+def test_gradient_recovers_expected_counts():
+    # minimizing the penalty through a softmax head drives the expected
+    # START/GOAL counts up to the hinge target — the pathwise gradient the
+    # score-function (REINFORCE) terms cannot provide
+    key = jax.random.key(0)
+    logits = jax.random.normal(key, (4, 8, 8, 8)) * 0.1
+    # suppress the structural channels at init (mode-dropped generator);
+    # softmax saturation makes the recovery gradient small, which is why
+    # the training knob wants w_presence >> 1 on converged generators
+    logits = logits.at[..., START].add(-4.0).at[..., GOAL].add(-4.0)
+
+    def loss(lg):
+        return presence_penalty(jax.nn.softmax(lg, axis=-1))
+
+    grad = jax.jit(jax.grad(loss))
+    assert float(loss(logits)) > 0.5
+    for _ in range(300):
+        logits = logits - 30.0 * grad(logits)
+    counts = jax.nn.softmax(logits, -1)[..., jnp.array([START, GOAL])]
+    assert float(loss(logits)) < 0.05
+    assert float(counts.sum(axis=(1, 2)).min()) > 0.7
+
+
+def test_wgan_step_with_presence_runs_and_is_critic_neutral():
+    # NOTE: at INIT the generator emits ~H*W/n_tiles expected tiles per
+    # structural channel, so the hinge is satisfied and contributes zero
+    # gradient — the prior only engages once training has mode-dropped the
+    # channel (the measured failure it exists for). A one-step param-diff
+    # test is therefore vacuous; the engaged-gradient behavior is covered
+    # by test_gradient_recovers_expected_counts above.
+    cfg = preset("wgan_gp_32").override(
+        **TINY, **{"train.n_critic": 2, "train.w_presence": 10.0})
+    base = preset("wgan_gp_32").override(**TINY, **{"train.n_critic": 2})
+    batch = _batch(cfg, n_critic=2)
+    s1, m1 = jax.jit(make_wgan_gp_step(cfg))(create_state(cfg), batch)
+    s0, _ = jax.jit(make_wgan_gp_step(base))(create_state(base), batch)
+    assert np.isfinite(float(m1["g_loss"]))
+    # presence is a generator-only term: the critic update is identical
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        jax.device_get(s1.discriminator), jax.device_get(s0.discriminator))
+
+
+def test_track_family_rejects_presence():
+    from levelgan.track.train import make_track_wgan_step
+    cfg = preset("racetrack_32").override(**{"train.w_presence": 1.0})
+    with pytest.raises(ValueError, match="tile-family only"):
+        make_track_wgan_step(cfg)
+
+
+def test_negative_weight_rejected():
+    with pytest.raises(ValueError, match="w_presence"):
+        preset("wgan_gp_32").override(**{"train.w_presence": -0.5})
