@@ -570,6 +570,10 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
             print("[levelgan] io.quality_every is tile-family only "
                   "(track quality = curvature gate); probe disabled")
         quality_every = 0
+    # best-probe checkpoint selection (io.keep_best): playability declines
+    # over training (see IOConfig.keep_best), so keep the best-so-far too
+    best_solvable = -1.0
+    keep_best = cfg.io.keep_best and quality_every > 0
     quality_probe = (make_quality_probe(cfg, cfg.io.quality_n)
                      if quality_every else None)
     probe_cond = (jnp.broadcast_to(
@@ -691,6 +695,13 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
                 if tb_writer is not None:
                     for name, val in q.items():
                         tb_writer.add_scalar(name, float(val), i)
+                if keep_best and float(q["solvable_frac"]) > best_solvable:
+                    best_solvable = float(q["solvable_frac"])
+                    best_path = save_checkpoint(
+                        f"{cfg.io.out_dir}/ckpt_best", state, cfg, keep=1)
+                    if echo:
+                        print(f"[levelgan] new best solvable_frac="
+                              f"{best_solvable:.3f} -> {best_path}")
             if _crossed(render_every, prev_i, i):
                 from levelgan.train.state import eval_generator_params
                 samples = generate(cfg, eval_generator_params(state), 16, batch_size=16,

@@ -197,10 +197,22 @@ class IOConfig:
     # solver, env/solver.py) into metrics.jsonl. 0 = off. Tile family only.
     quality_every: int = 0
     quality_n: int = 256          # levels per quality probe
+    # Also keep the checkpoint with the best probe solvable_frac so far in
+    # <out_dir>/ckpt_best (pruned to 1). Playability DECLINES over training
+    # as the generator converges to corpus marginals where START/GOAL are
+    # ~0.1% rare (measured curve: artifacts/quality_curve_cur_solv.jsonl,
+    # 0.82 -> 0.59), so the last checkpoint is rarely the most playable one.
+    # Requires quality_every > 0 (tile family).
+    keep_best: bool = False
     # Persistent XLA compilation cache directory ('' = disabled).  First
     # compile of a preset costs 20-40s through the dev relay; a warm cache
     # makes re-runs/resumes start in seconds (SURVEY.md §5.1 ergonomics).
     compile_cache: str = ""
+
+    def __post_init__(self):
+        if self.keep_best and not self.quality_every:
+            raise ValueError("io.keep_best requires io.quality_every > 0 "
+                             "(the probe provides the selection metric)")
 
 
 @dataclass(frozen=True)

@@ -191,6 +191,39 @@ def test_training_quality_probe(tmp_path):
         assert 0.0 <= r["has_goal_frac"] <= 1.0
 
 
+def test_keep_best_checkpoint(tmp_path):
+    """io.keep_best snapshots the best-probe checkpoint into ckpt_best
+    (pruned to one), and it loads like any other checkpoint."""
+    import os
+
+    from levelgan.api import train
+    from levelgan.cli.export import load_generator
+    from levelgan.config import preset
+
+    tiny = {
+        "model.base_channels": 16, "model.critic_base_channels": 16,
+        "model.latent_dim": 16, "model.group_size": 8,
+        "train.batch_size": 8, "train.steps": 6, "data.corpus_size": 64,
+        "train.steps_per_dispatch": 1,
+        "io.log_every": 100, "io.ckpt_every": 100,
+        "io.quality_every": 2, "io.quality_n": 8,
+        "io.keep_best": True,
+        "io.out_dir": str(tmp_path),
+    }
+    train(preset("toy_dcgan_16").override(**tiny), echo=False)
+    best_dir = tmp_path / "ckpt_best"
+    entries = sorted(os.listdir(best_dir))
+    assert len(entries) == 1 and entries[0].startswith("step_")
+    cfg, _state = load_generator(str(best_dir / entries[0]))
+    assert cfg.io.keep_best is True
+
+
+def test_keep_best_requires_quality_probe():
+    from levelgan.config import preset
+    with pytest.raises(ValueError, match="keep_best"):
+        preset("toy_dcgan_16").override(**{"io.keep_best": True})
+
+
 @pytest.mark.slow
 def test_eval_quality_cli(tmp_path, capsys):
     import json
