@@ -39,11 +39,25 @@ def test_hinge_ignores_extra_tiles():
 
 def test_penalty_on_missing_tiles():
     ids = np.zeros((2, 4, 4), np.uint8)          # all EMPTY: both missing
-    # deficit 1.0 for each of the 2 structural tiles -> mean of squares = 1
-    assert float(presence_penalty(_onehot_level(ids))) == pytest.approx(1.0)
+    # per missing tile: count deficit 1 + concentration deficit 1 -> 2.0
+    assert float(presence_penalty(_onehot_level(ids))) == pytest.approx(2.0)
     ids[0, 1, 1] = START
     ids[0, 2, 2] = GOAL                          # level 0 fixed, level 1 not
-    assert float(presence_penalty(_onehot_level(ids))) == pytest.approx(0.5)
+    assert float(presence_penalty(_onehot_level(ids))) == pytest.approx(1.0)
+
+
+def test_diffuse_probability_is_still_penalized():
+    # the measured softmax-head failure mode: expected count ~1 spread over
+    # all cells with no cell committing — count hinge satisfied, but the
+    # argmax decode would never emit the tile; the concentration term fires
+    p = 1.0 / 16                                 # 16 cells x 1/16 = 1.0
+    soft = np.zeros((1, 4, 4, 8), np.float32)
+    soft[..., START] = p
+    soft[..., GOAL] = p
+    soft[..., 0] = 1.0 - 2 * p
+    pen = float(presence_penalty(jnp.asarray(soft)))
+    assert pen == pytest.approx(2 * (1.0 - p) ** 2 / 2, rel=1e-5)
+    assert pen > 0.8
 
 
 def test_gradient_recovers_expected_counts():
@@ -56,17 +70,23 @@ def test_gradient_recovers_expected_counts():
     # softmax saturation makes the recovery gradient small, which is why
     # the training knob wants w_presence >> 1 on converged generators
     logits = logits.at[..., START].add(-4.0).at[..., GOAL].add(-4.0)
+    # distinct best-candidate cells per channel, as the adversarial term
+    # provides in training (corpus levels place START and GOAL apart) —
+    # if both channels' best cell COINCIDES, the two concentration
+    # gradients fight inside that cell's softmax and stall at 0.5/0.5
+    logits = logits.at[:, 0, 0, START].add(1.0).at[:, 7, 7, GOAL].add(1.0)
 
     def loss(lg):
         return presence_penalty(jax.nn.softmax(lg, axis=-1))
 
     grad = jax.jit(jax.grad(loss))
     assert float(loss(logits)) > 0.5
-    for _ in range(300):
+    for _ in range(600):
         logits = logits - 30.0 * grad(logits)
-    counts = jax.nn.softmax(logits, -1)[..., jnp.array([START, GOAL])]
+    chans = jax.nn.softmax(logits, -1)[..., jnp.array([START, GOAL])]
     assert float(loss(logits)) < 0.05
-    assert float(counts.sum(axis=(1, 2)).min()) > 0.7
+    assert float(chans.sum(axis=(1, 2)).min()) > 0.7      # expected count
+    assert float(chans.max(axis=(1, 2)).min()) > 0.8      # concentration
 
 
 def test_wgan_step_with_presence_runs_and_is_critic_neutral():
