@@ -172,14 +172,16 @@ def make_curriculum_step(cfg: Config):
             logp = jnp.sum(logp_map * levels_soft, axis=(1, 2, 3))
             rl_term = -(advantage * logp).mean() / (m.level_size ** 2)
             loss = gan_term + rl_term
+            pres = None
             if t.w_presence:
                 # structural-tile presence prior (ops/presence.py): direct
                 # pathwise gradient alongside the score-function terms
                 from levelgan.ops.presence import presence_penalty
-                loss = loss + t.w_presence * presence_penalty(fake)
-            return loss, (gan_term, rl_term)
+                pres = presence_penalty(fake)
+                loss = loss + t.w_presence * pres
+            return loss, (gan_term, rl_term, pres)
 
-        (g_loss, (gan_term, rl_term)), g_logits = jax.value_and_grad(
+        (g_loss, (gan_term, rl_term, pres)), g_logits = jax.value_and_grad(
             g_loss_fn, has_aux=True)(logits)
         (g_grads,) = g_vjp(g_logits)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.generator)
@@ -206,6 +208,8 @@ def make_curriculum_step(cfg: Config):
         }
         if sol is not None:
             metrics["solvable_frac"] = sol.mean()
+        if pres is not None:
+            metrics["presence"] = pres
         return new_state, metrics
 
     return step_fn

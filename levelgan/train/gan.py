@@ -99,13 +99,15 @@ def make_gan_step(cfg: Config):
             d_out = critic.apply({"params": params_d}, fake2, cond)
             loss = optax.sigmoid_binary_cross_entropy(
                 d_out, jnp.ones_like(d_out)).mean()
+            pres = None
             if t.w_presence:
                 # structural-tile presence prior (ops/presence.py)
                 from levelgan.ops.presence import presence_penalty
-                loss = loss + t.w_presence * presence_penalty(fake2)
-            return loss, fake2
+                pres = presence_penalty(fake2)
+                loss = loss + t.w_presence * pres
+            return loss, (fake2, pres)
 
-        (g_loss, fake2), g_grads = jax.value_and_grad(
+        (g_loss, (fake2, pres)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.generator)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.generator)
         params_g = optax.apply_updates(state.generator, g_updates)
@@ -119,6 +121,8 @@ def make_gan_step(cfg: Config):
             "d_real": dr, "d_fake": df,
             "gen_hist": tile_histogram(decode(fake2), m.n_tiles),
         }
+        if pres is not None:
+            metrics["presence"] = pres
         return new_state, metrics
 
     return step_fn

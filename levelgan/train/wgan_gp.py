@@ -116,14 +116,16 @@ def make_wgan_gp_step(cfg: Config):
         def g_loss_fn(pg):
             fake = g_sample(pg, k_sg, z, cond_g, state.step)
             loss = -d_apply(params_d, fake, cond_g).mean()
+            pres = None
             if t.w_presence:
                 # structural-tile presence prior (ops/presence.py): direct
                 # low-variance gradient against rare-tile mode-drop
                 from levelgan.ops.presence import presence_penalty
-                loss = loss + t.w_presence * presence_penalty(fake)
-            return loss, fake
+                pres = presence_penalty(fake)
+                loss = loss + t.w_presence * pres
+            return loss, (fake, pres)
 
-        (g_loss, fake), g_grads = jax.value_and_grad(
+        (g_loss, (fake, pres)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.generator)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.generator)
         params_g = optax.apply_updates(state.generator, g_updates)
@@ -137,6 +139,8 @@ def make_wgan_gp_step(cfg: Config):
             "gp": it["gp"][-1], "wdist": it["wdist"][-1],
             "gen_hist": tile_histogram(decode(fake), m.n_tiles),
         }
+        if pres is not None:
+            metrics["presence"] = pres
         return new_state, metrics
 
     return step_fn

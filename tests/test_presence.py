@@ -101,8 +101,11 @@ def test_wgan_step_with_presence_runs_and_is_critic_neutral():
     base = preset("wgan_gp_32").override(**TINY, **{"train.n_critic": 2})
     batch = _batch(cfg, n_critic=2)
     s1, m1 = jax.jit(make_wgan_gp_step(cfg))(create_state(cfg), batch)
-    s0, _ = jax.jit(make_wgan_gp_step(base))(create_state(base), batch)
+    s0, m0 = jax.jit(make_wgan_gp_step(base))(create_state(base), batch)
     assert np.isfinite(float(m1["g_loss"]))
+    # the penalty value is observable when (and only when) the knob is on
+    assert np.isfinite(float(m1["presence"])) and float(m1["presence"]) >= 0
+    assert "presence" not in m0
     # presence is a generator-only term: the critic update is identical
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(a, b),
