@@ -91,6 +91,13 @@ class TrainConfig:
     # in-training fix for the rare-tile mode-drop the quality eval exposes
     # (BASELINE.md "Sample quality"); tile family only.
     w_presence: float = 0.0
+    # Heading-closure prior on the track generator (track/ops.py
+    # closure_penalty): squared error between |sum of curvature| and 2*pi,
+    # differentiable pathwise through the tanh-bounded curvature output.
+    # 0 = off (reference-shaped objective). The in-training fix for the
+    # GRU emitter's accumulated heading error (BASELINE.md "Track-family
+    # quality": only ~29-43% of raw loops close); track family only.
+    w_closure: float = 0.0
     seed: int = 0
     # Steps executed per device dispatch (lax.scan over the step fn).
     # >1 amortizes host->device dispatch latency; log/ckpt cadence is
@@ -118,6 +125,9 @@ class TrainConfig:
         if self.w_presence < 0:
             raise ValueError(
                 f"train.w_presence must be >= 0, got {self.w_presence}")
+        if self.w_closure < 0:
+            raise ValueError(
+                f"train.w_closure must be >= 0, got {self.w_closure}")
 
 
 @dataclass(frozen=True)

@@ -58,3 +58,22 @@ def track_features(tracks: jax.Array) -> jax.Array:
     sgn = jnp.sign(kappa)
     flips = (sgn * jnp.roll(sgn, 1, axis=-1) < 0).astype(jnp.float32)
     return jnp.stack([mean_abs_k, rms_k, mean_w, flips.mean(-1)], axis=-1)
+
+
+def closure_penalty(tracks: jax.Array) -> jax.Array:
+    """Mean squared heading-closure error over a batch (``train.w_closure``).
+
+    A closed circuit turns by exactly +-2*pi, i.e. with unit segment length
+    ``|sum_t kappa| == 2*pi`` — the corpus invariant (track/data.py builds
+    tracks by normalizing heading turns to one full loop), and exactly the
+    statistic the quality eval gates on (track/quality.py closure_error).
+    The penalty ``mean_b (|sum_t kappa_b| - 2*pi)^2`` is zero on every
+    corpus track and differentiable pathwise through the generator's
+    tanh-bounded curvature channel (no score-function estimator needed),
+    so it re-injects loop closure without touching the curvature
+    *distribution* the identity gate measures.  Invariant under
+    track_augment (cyclic shift preserves the sum; mirror negates it and
+    |.| absorbs the sign).  tracks: [B, T, 2], channel 0 = curvature.
+    """
+    turn = jnp.abs(tracks[..., 0].astype(jnp.float32).sum(-1))
+    return jnp.square(turn - 2.0 * jnp.pi).mean()

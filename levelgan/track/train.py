@@ -18,8 +18,8 @@ from levelgan.config import Config
 from levelgan.ops.grad_penalty import gradient_penalty
 from levelgan.track.data import KAPPA_MAX, TrackDataset
 from levelgan.track.models import TrackCritic, TrackGenerator
-from levelgan.track.ops import (curvature_hist_device, track_augment,
-                                track_features)
+from levelgan.track.ops import (closure_penalty, curvature_hist_device,
+                                track_augment, track_features)
 from levelgan.track.race import (RaceParams, driver_apply,
                                  init_driver, race_rollout)
 from levelgan.train.curriculum import CurriculumState, make_agent_optimizers
@@ -136,7 +136,7 @@ def make_track_wgan_step(cfg: Config):
         raise ValueError("train.w_presence is tile-family only "
                          "(structural-tile presence prior); track tracks "
                          "have no START/GOAL tiles")
-    m = cfg.model
+    m, t = cfg.model, cfg.train
     gen = TrackGenerator(m)
     tx_g, _ = make_optimizers(cfg)
     critic_update, d_apply = make_track_critic_update(cfg)
@@ -158,9 +158,16 @@ def make_track_wgan_step(cfg: Config):
 
         def g_loss_fn(pg):
             fake = gen.apply({"params": pg}, z, cond_g)
-            return -d_apply(params_d, fake, cond_g).mean(), fake
+            loss = -d_apply(params_d, fake, cond_g).mean()
+            clos = jnp.zeros(())
+            if t.w_closure:
+                # heading-closure prior (track/ops.py): pathwise gradient
+                # through the tanh-bounded curvature channel
+                clos = closure_penalty(fake)
+                loss = loss + t.w_closure * clos
+            return loss, (fake, clos)
 
-        (g_loss, fake), g_grads = jax.value_and_grad(
+        (g_loss, (fake, clos)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.generator)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.generator)
 
@@ -174,6 +181,8 @@ def make_track_wgan_step(cfg: Config):
             "gp": it["gp"][-1], "wdist": it["wdist"][-1],
             "gen_hist": curvature_hist_device(fake, TrackDataset.N_BINS),
         }
+        if t.w_closure:
+            metrics["closure"] = clos
         return new_state, metrics
 
     return step_fn
@@ -185,7 +194,7 @@ def make_track_curriculum_step(cfg: Config):
     skill gap) in ONE optimizer step — the G optimizer chain, LR schedule,
     and EMA each advance exactly once per curriculum step, matching the tile
     curriculum.  Batch: float32 [n_critic, B, T, 2]."""
-    m, cur = cfg.model, cfg.curriculum
+    m, cur, t = cfg.model, cfg.curriculum, cfg.train
     gen = TrackGenerator(m)
     tx_g, _ = make_optimizers(cfg)
     tx_s, tx_w = make_agent_optimizers(cfg)
@@ -259,9 +268,16 @@ def make_track_curriculum_step(cfg: Config):
             logp = -0.5 * jnp.sum(
                 ((kappa_s - mu) / EXPLORE_SIGMA) ** 2, axis=-1)
             rl_term = -(advantage * logp).mean() / m.n_segments
-            return gan_term + rl_term, (gan_term, rl_term, out)
+            loss = gan_term + rl_term
+            clos = jnp.zeros(())
+            if t.w_closure:
+                # heading-closure prior: pathwise term on the mean tracks
+                # (the same tensor the VJP below pulls gradients through)
+                clos = closure_penalty(out)
+                loss = loss + t.w_closure * clos
+            return loss, (gan_term, rl_term, clos, out)
 
-        (g_loss, (gan_term, rl_term, fake)), g_out = jax.value_and_grad(
+        (g_loss, (gan_term, rl_term, clos, fake)), g_out = jax.value_and_grad(
             g_loss_fn, has_aux=True)(mean_tracks)
         (g_grads,) = g_vjp(g_out)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.generator)
@@ -286,6 +302,8 @@ def make_track_curriculum_step(cfg: Config):
             "gen_hist": curvature_hist_device(
                 jax.lax.stop_gradient(fake), TrackDataset.N_BINS),
         }
+        if t.w_closure:
+            metrics["closure"] = clos
         return new_state, metrics
 
     return step_fn

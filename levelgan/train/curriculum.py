@@ -76,6 +76,11 @@ def env_params(cfg: Config) -> EnvParams:
 def make_curriculum_step(cfg: Config):
     """Build the jit-able curriculum step. Batch: uint8 [n_critic, B, H, W]."""
     m, t, cur = cfg.model, cfg.train, cfg.curriculum
+    if t.w_closure:
+        # loud instead of a silent no-op: grids have no heading to close
+        raise ValueError("train.w_closure is track-family only "
+                         "(heading-closure prior); tile levels have no "
+                         "loop-closure invariant")
     if m.head != "gumbel":
         # The REINFORCE term scores HARD discrete levels; with any other
         # head the critic/gan term would train on soft samples while the

@@ -41,6 +41,11 @@ def make_gan_step(cfg: Config):
     """Build the jit-able vanilla GAN step. Batch: uint8 ids [B, H, W]."""
     m, t = cfg.model, cfg.train
     gen, critic = Generator(m), Critic(m)
+    if t.w_closure:
+        # loud instead of a silent no-op: grids have no heading to close
+        raise ValueError("train.w_closure is track-family only "
+                         "(heading-closure prior); tile levels have no "
+                         "loop-closure invariant")
     tx_g, tx_d = make_optimizers(cfg)
     label_smooth = 0.9  # soft real targets for D (standard DCGAN stabilizer)
 

@@ -76,6 +76,11 @@ def make_wgan_gp_step(cfg: Config):
     """Build the jit-able WGAN-GP step. Batch: uint8 ids [n_critic, B, H, W]."""
     m, t = cfg.model, cfg.train
     gen, critic = Generator(m), Critic(m)
+    if t.w_closure:
+        # loud instead of a silent no-op: grids have no heading to close
+        raise ValueError("train.w_closure is track-family only "
+                         "(heading-closure prior); tile levels have no "
+                         "loop-closure invariant")
     tx_g, tx_d = make_optimizers(cfg)
     if m.use_pallas:
         # stage-(c) fused critic-gradient kernel for the small critics,

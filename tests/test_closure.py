@@ -1,0 +1,126 @@
+"""Heading-closure prior (track/ops.py closure_penalty, train.w_closure).
+
+The in-training remedy for the measured GRU heading drift (BASELINE.md
+"Track-family quality": only ~29-43% of raw generated loops close within
+0.5 rad): squared error between |sum of curvature| and 2*pi,
+differentiable pathwise through the tanh-bounded curvature channel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from levelgan.config import preset
+from levelgan.track.data import TrackDataset
+from levelgan.track.ops import closure_penalty, track_augment
+
+TINY = {
+    "train.batch_size": 8, "train.n_critic": 2, "model.rnn_hidden": 32,
+    "model.latent_dim": 8, "model.critic_base_channels": 16,
+    "model.group_size": 8, "model.n_segments": 16,
+    "curriculum.rollout_steps": 10,
+    "data.corpus_size": 64, "io.log_every": 2, "io.ckpt_every": 100,
+}
+
+
+def _corpus(n=8):
+    # full-size preset: at 48 segments the corpus turn normalization is
+    # exact (the short 16-segment test corpus re-clips after normalizing,
+    # leaving ~0.02 rad residual — data.synthetic_tracks)
+    cfg = preset("racetrack_32")
+    ds = TrackDataset.from_config(cfg.data, cfg.model, seed=0)
+    return jnp.asarray(ds.tracks[:n])
+
+
+def test_zero_on_corpus_tracks():
+    # corpus tracks close by construction (track/data.py normalizes the
+    # heading turn to exactly one loop) — the prior vanishes at the optimum
+    assert float(closure_penalty(_corpus())) < 1e-9
+
+
+def test_penalty_and_gradient_on_open_loops():
+    bad = _corpus().at[..., 0].multiply(0.7)   # 30% heading shortfall
+    pen = float(closure_penalty(bad))
+    assert pen == pytest.approx((0.3 * 2 * np.pi) ** 2, rel=1e-4)
+    g = jax.grad(closure_penalty)(bad)
+    assert float(jnp.abs(g[..., 0]).max()) > 0          # pathwise gradient
+    assert float(jnp.abs(g[..., 1]).max()) == 0.0       # width untouched
+
+
+def test_direction_agnostic_and_augment_invariant():
+    tr = _corpus()
+    ccw, cw = tr, tr.at[..., 0].multiply(-1.0)          # both valid loops
+    assert float(closure_penalty(cw)) < 1e-9
+    bad = tr.at[..., 0].multiply(0.6)
+    aug = track_augment(jax.random.key(0), bad)         # shift + mirror
+    assert float(closure_penalty(aug)) == pytest.approx(
+        float(closure_penalty(bad)), rel=1e-5)
+    assert float(closure_penalty(ccw)) < 1e-9
+
+
+def test_gradient_descent_closes_a_loop():
+    # the pathwise gradient actually closes an open loop
+    kappa = jnp.full((1, 16), 2 * np.pi / 16 * 0.5)     # half a loop
+    width = jnp.full((1, 16), 1.0)
+    tr = jnp.stack([kappa, width], -1)
+    for _ in range(200):
+        tr = tr - 0.01 * jax.grad(closure_penalty)(tr)
+    assert float(closure_penalty(tr)) < 1e-6
+
+
+def test_track_wgan_step_with_closure_runs_and_is_critic_neutral():
+    from levelgan.track.train import create_track_state, make_track_wgan_step
+
+    cfg = preset("racetrack_32").override(
+        **TINY, **{"train.w_closure": 1.0})
+    base = preset("racetrack_32").override(**TINY)
+    batch = np.asarray(
+        np.random.default_rng(0).normal(0, 0.1, (2, 8, 16, 2)), np.float32)
+    s1, m1 = jax.jit(make_track_wgan_step(cfg))(create_track_state(cfg), batch)
+    s0, m0 = jax.jit(make_track_wgan_step(base))(
+        create_track_state(base), batch)
+    assert np.isfinite(float(m1["g_loss"]))
+    # the penalty value is observable when (and only when) the knob is on
+    assert np.isfinite(float(m1["closure"])) and float(m1["closure"]) >= 0
+    assert "closure" not in m0
+    # closure is a generator-only term: the critic update is identical
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        jax.device_get(s1.discriminator), jax.device_get(s0.discriminator))
+    # and the generator update is NOT (the prior engages at init: a fresh
+    # GRU emitter does not close loops)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.device_get(s1.generator), jax.device_get(s0.generator))
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_track_curriculum_step_with_closure_runs():
+    from levelgan.track.train import (create_track_curriculum_state,
+                                      make_track_curriculum_step)
+
+    cfg = preset("race_curriculum_32").override(
+        **TINY, **{"train.w_closure": 1.0})
+    state = create_track_curriculum_state(cfg)
+    batch = np.asarray(
+        np.random.default_rng(0).normal(0, 0.1, (2, 8, 16, 2)), np.float32)
+    _, m = jax.jit(make_track_curriculum_step(cfg))(state, batch)
+    assert np.isfinite(float(m["g_loss"]))
+    assert np.isfinite(float(m["closure"])) and float(m["closure"]) >= 0
+
+
+def test_tile_family_rejects_closure():
+    from levelgan.train.gan import make_gan_step
+    from levelgan.train.wgan_gp import make_wgan_gp_step
+
+    for fam, factory in (("toy_dcgan_16", make_gan_step),
+                         ("wgan_gp_32", make_wgan_gp_step)):
+        cfg = preset(fam).override(**{"train.w_closure": 1.0})
+        with pytest.raises(ValueError, match="track-family only"):
+            factory(cfg)
+
+
+def test_negative_weight_rejected():
+    with pytest.raises(ValueError, match="w_closure"):
+        preset("racetrack_32").override(**{"train.w_closure": -0.5})
