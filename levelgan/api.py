@@ -65,7 +65,14 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
         def track_fn(params_g, key, cond=None):
             z = jax.random.normal(key, (batch_size, cfg.model.latent_dim),
                                   jnp.float32)
-            return tgen.apply({"params": params_g}, z, cond)
+            tracks = tgen.apply({"params": params_g}, z, cond)
+            if repair:
+                # track-family repair = exact heading-closure projection
+                # (track/ops.py closure_project), on-device like the tile
+                # family's START/GOAL placement
+                from levelgan.track.ops import closure_project
+                tracks = closure_project(tracks)
+            return tracks
 
         return track_fn
 
@@ -228,16 +235,15 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
     byte plane); the result is unpacked on host either way.  ``repair=True``
     guarantees >=1 START and >=1 GOAL per level (ops/repair.py).
     Track family: float32 [n, T, 2] (curvature, width) sequences — packing
-    and repair do not apply (both are rejected).
+    does not apply (rejected); ``repair=True`` applies the exact
+    heading-closure projection (track/ops.py closure_project).
     """
     batch_size = min(batch_size, n)
     if cfg.model.family == "track":
         if pack:
             raise ValueError("pack=True is tile-family only; track export "
                              "returns float32 [n, T, 2] sequences")
-        if repair:
-            raise ValueError("repair=True is tile-family only")
-        gen_fn = make_generate_fn(cfg, batch_size)
+        gen_fn = make_generate_fn(cfg, batch_size, repair=repair)
         if cond is not None:
             cond = jnp.broadcast_to(jnp.asarray(cond, jnp.float32),
                                     (batch_size, cfg.model.cond_dim))

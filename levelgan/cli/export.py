@@ -31,6 +31,18 @@ PALETTE = np.array([
 
 
 def load_generator(ckpt: str):
+    # Accept either a step directory (.../ckpt/step_00001000) or the ckpt
+    # parent; for the parent, pick the newest complete step (a bare run
+    # directory with an out_dir/ckpt tree also resolves, one level down).
+    if not os.path.exists(os.path.join(ckpt, "manifest.json")):
+        from levelgan.lio.checkpoint import all_checkpoints
+        candidates = (all_checkpoints(ckpt)
+                      or all_checkpoints(os.path.join(ckpt, "ckpt")))
+        if not candidates:
+            raise FileNotFoundError(
+                f"no checkpoint found under {ckpt!r} (expected a step dir "
+                "with manifest.json, or a parent containing step_* dirs)")
+        ckpt = candidates[-1]
     cfg = Config.from_dict(load_manifest(ckpt)["config"])
     from levelgan.api import make_state
     # jit the example-state init: eager init is hundreds of small dispatches

@@ -60,6 +60,37 @@ def track_features(tracks: jax.Array) -> jax.Array:
     return jnp.stack([mean_abs_k, rms_k, mean_w, flips.mean(-1)], axis=-1)
 
 
+def closure_project(tracks: jax.Array, iters: int = 2) -> jax.Array:
+    """Exact heading closure by decode-time projection (track ``--repair``).
+
+    The track-family twin of the tile family's ops/repair.py: instead of
+    shaping the training objective (``train.w_closure`` — measured to
+    distort the curvature distribution the identity gate checks, see
+    BASELINE.md), fix the constraint at decode.  Each track's curvature is
+    shifted so ``sum_t kappa == +-2*pi`` (toward the loop orientation the
+    track already leans, ``sign(sum kappa)``; zero-sum tracks close
+    positively).  The correction is distributed across segments in
+    proportion to each segment's remaining headroom to ``+-KAPPA_MAX`` in
+    the needed direction — one pass is then exact whenever the residual
+    fits inside the total headroom (increment_t = resid * room_t / sum
+    room <= room_t), and the per-segment bound is preserved by
+    construction, so ``kappa_violation_frac`` stays 0.  Width untouched.
+    Typical corrections are tiny (mean closure error ~0.8 rad over 32
+    segments = ~4% of KAPPA_MAX per segment), so the curvature marginals
+    the identity gate measures move negligibly.  tracks: [B, T, 2].
+    """
+    kappa = tracks[..., 0].astype(jnp.float32)
+    target = jnp.where(kappa.sum(-1) >= 0, 1.0, -1.0) * (2.0 * jnp.pi)
+    for _ in range(iters):  # 2nd pass mops up any clipped residual
+        resid = target - kappa.sum(-1)                       # [B]
+        room = jnp.where(resid[:, None] >= 0,
+                         KAPPA_MAX - kappa, kappa + KAPPA_MAX)
+        kappa = kappa + resid[:, None] * room / jnp.maximum(
+            room.sum(-1, keepdims=True), 1e-6)
+        kappa = jnp.clip(kappa, -KAPPA_MAX, KAPPA_MAX)
+    return jnp.stack([kappa, tracks[..., 1]], axis=-1).astype(tracks.dtype)
+
+
 def closure_penalty(tracks: jax.Array) -> jax.Array:
     """Mean squared heading-closure error over a batch (``train.w_closure``).
 

@@ -80,3 +80,24 @@ def test_shape_mismatch_rejected(cfg, tmp_path):
         **{**TINY, "model.base_channels": 32})
     with pytest.raises((ValueError, KeyError)):
         load_checkpoint(path, create_state(other))
+
+
+def test_load_generator_accepts_parent_dir(cfg, tmp_path):
+    """load_generator resolves a ckpt parent (or run dir) to the newest
+    complete step dir, so tools can take --ckpt runs/<name> directly."""
+    from levelgan.cli.export import load_generator
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    state = create_state(cfg)
+    save_checkpoint(ckpt_dir, state, cfg)
+    state2 = create_state(cfg, jax.random.key(7))
+    state2 = state2.replace(step=state2.step + 5)
+    save_checkpoint(ckpt_dir, state2, cfg)
+
+    for target in (ckpt_dir, str(tmp_path)):       # ckpt dir and run dir
+        cfg2, restored = load_generator(target)
+        assert cfg2 == cfg
+        assert int(restored.step) == 5             # newest step wins
+
+    with pytest.raises(FileNotFoundError, match="no checkpoint"):
+        load_generator(str(tmp_path / "empty"))

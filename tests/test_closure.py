@@ -124,3 +124,66 @@ def test_tile_family_rejects_closure():
 def test_negative_weight_rejected():
     with pytest.raises(ValueError, match="w_closure"):
         preset("racetrack_32").override(**{"train.w_closure": -0.5})
+
+
+# ---- decode-time closure projection (track/ops.py closure_project) ---------
+
+
+def test_project_closes_exactly_within_bounds():
+    from levelgan.track.data import KAPPA_MAX
+    from levelgan.track.ops import closure_project
+
+    rng = np.random.default_rng(3)
+    # open loops, both orientations, well inside the feasible region
+    tracks = np.stack([
+        rng.uniform(-0.3, 0.3, (16, 32)) + rng.choice([-0.1, 0.1], (16, 1)),
+        rng.uniform(0.1, 0.3, (16, 32)),
+    ], axis=-1).astype(np.float32)
+    out = np.asarray(closure_project(jnp.asarray(tracks)))
+    turn = np.abs(out[..., 0].sum(-1))
+    np.testing.assert_allclose(turn, 2 * np.pi, atol=1e-4)
+    assert np.all(np.abs(out[..., 0]) <= KAPPA_MAX + 1e-6)
+    np.testing.assert_array_equal(out[..., 1], tracks[..., 1])  # width
+
+
+def test_project_noop_on_corpus_tracks():
+    from levelgan.track.ops import closure_project
+
+    tracks = _corpus(8)
+    out = np.asarray(closure_project(jnp.asarray(tracks)))
+    np.testing.assert_allclose(out, tracks, atol=1e-5)
+
+
+def test_project_preserves_orientation():
+    from levelgan.track.ops import closure_project
+
+    tracks = np.array(_corpus(8))
+    sign_in = np.sign(tracks[..., 0].sum(-1))
+    tracks[..., 0] *= 0.8  # open every loop by 20%
+    out = np.asarray(closure_project(jnp.asarray(tracks)))
+    assert np.array_equal(np.sign(out[..., 0].sum(-1)), sign_in)
+
+
+def test_project_saturates_when_infeasible():
+    from levelgan.track.data import KAPPA_MAX
+    from levelgan.track.ops import closure_project
+
+    # 8 segments at KAPPA_MAX gives max turn 4.8 < 2*pi: infeasible —
+    # projection must saturate at the bound, not overshoot it
+    tracks = np.zeros((2, 8, 2), np.float32)
+    tracks[..., 1] = 0.2
+    out = np.asarray(closure_project(jnp.asarray(tracks)))
+    np.testing.assert_allclose(out[..., 0], KAPPA_MAX, atol=1e-5)
+
+
+def test_generate_repair_track_family():
+    """generate(repair=True) routes tracks through closure_project."""
+    from levelgan.api import generate, make_state
+    from levelgan.train.state import eval_generator_params
+
+    cfg = preset("racetrack_32").override(**TINY)
+    state = make_state(cfg, jax.random.key(0))
+    tracks = generate(cfg, eval_generator_params(state), 16, seed=1,
+                      batch_size=8, repair=True)
+    turn = np.abs(np.asarray(tracks)[..., 0].sum(-1))
+    np.testing.assert_allclose(turn, 2 * np.pi, atol=1e-3)

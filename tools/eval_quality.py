@@ -16,8 +16,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 
 import numpy as np
+
+# Support both `python -m tools.eval_quality` and `python tools/eval_quality.py`
+# (the latter lacks the repo root on sys.path, so `tools.` imports fail).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
@@ -48,14 +54,14 @@ def main(argv=None):
 
     if cfg.model.family == "track":
         # track quality is dynamic: the scripted-driver lap test +
-        # geometry well-formedness (track/quality.py)
-        if args.repair:
-            raise SystemExit("--repair is tile-family only")
+        # geometry well-formedness (track/quality.py).  --repair applies
+        # the exact heading-closure projection (track/ops.closure_project).
         from levelgan.track.quality import track_quality_report
         tracks = generate(cfg, eval_generator_params(state), args.n,
-                          seed=args.seed, cond=cond)
+                          seed=args.seed, cond=cond, repair=args.repair)
         report = {
             "preset": cfg.preset,
+            "repair": bool(args.repair),
             "generated": track_quality_report(tracks),
             "corpus": track_quality_report(ds.tracks[:max(args.n, 1)]),
         }

@@ -22,6 +22,9 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=2048)
     ap.add_argument("--kl-threshold", type=float, default=0.05)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--repair", action="store_true",
+                    help="gate the repaired export path (tile: START/GOAL "
+                         "placement; track: heading-closure projection)")
     args = ap.parse_args(argv)
 
     from tools.bench_all import _enable_compile_cache
@@ -42,11 +45,13 @@ def main(argv=None):
     if cfg.model.family == "track":
         from levelgan.track.data import TrackDataset, curvature_histogram
         n = max(args.n, -(-100_000 // cfg.model.n_segments))
-        tracks = generate(cfg, eval_params, n, seed=args.seed, cond=cond)
+        tracks = generate(cfg, eval_params, n, seed=args.seed, cond=cond,
+                          repair=args.repair)
         kl = float(kl_divergence(
             curvature_histogram(tracks, TrackDataset.N_BINS),
             ds.tile_histogram()))
-        report = {"preset": cfg.preset, "n_tracks": int(n), "kl": kl,
+        report = {"preset": cfg.preset, "repair": bool(args.repair),
+                  "n_tracks": int(n), "kl": kl,
                   "threshold": args.kl_threshold,
                   "passed": kl <= args.kl_threshold,
                   "segments_sampled": int(n * cfg.model.n_segments)}
@@ -54,12 +59,14 @@ def main(argv=None):
         return 0 if report["passed"] else 1
 
     n = max(args.n, -(-100_000 // cfg.model.level_size ** 2))  # >=100k tiles
-    levels = generate(cfg, eval_params, n, seed=args.seed, cond=cond)
+    levels = generate(cfg, eval_params, n, seed=args.seed, cond=cond,
+                      repair=args.repair)
     gate = kl_gate(levels, ds.tile_histogram(cfg.model.n_tiles),
                    cfg.model.n_tiles, args.kl_threshold)
     chi2 = per_position_chi2(levels, ds.levels, cfg.model.n_tiles)
 
-    report = {"preset": cfg.preset, "n_levels": int(n), **gate, **chi2}
+    report = {"preset": cfg.preset, "repair": bool(args.repair),
+              "n_levels": int(n), **gate, **chi2}
     print(json.dumps(report, indent=2))
     return 0 if gate["passed"] else 1
 
