@@ -9,9 +9,17 @@ identical to the reference".  This module turns that into decidable gates:
     types across samples, compared to the corpus's per-position
     distribution (catches generators with the right marginals but wrong
     spatial structure — e.g. borders);
-  - the same machinery conditioned on a feature bucket for config 4.
+  - the same machinery conditioned on a feature bucket for config 4:
+    ``quantile_buckets`` splits the corpus by a feature's quantiles,
+    ``per_position_chi2`` then compares generations conditioned on a
+    bucket's mean feature vector against that bucket's corpus levels,
+    and ``response_stats`` quantifies whether sweeping one requested
+    feature actually moves the realized feature of the generated levels
+    (the causality gate — a generator that ignores ``cond`` scores
+    correlation ~0 and fails).
 
-``tools/validate.py`` runs these against a trained checkpoint.
+``tools/validate.py`` runs the unconditional gates against a trained
+checkpoint; ``tools/eval_cond.py`` runs the conditional ones.
 """
 
 from __future__ import annotations
@@ -46,6 +54,49 @@ def per_position_chi2(gen_levels: np.ndarray, ref_levels: np.ndarray,
         "dof": dof,
         # per-cell chi2/dof ~ 1 when distributions match
         "chi2_per_dof_mean": float(chi2.mean() / dof),
+    }
+
+
+def quantile_buckets(values: np.ndarray, n_buckets: int) -> list[np.ndarray]:
+    """Split corpus indices into ``n_buckets`` quantile buckets of a scalar
+    feature.  Returns a list of index arrays (some may be small if the
+    feature is heavily tied — e.g. goal_dist on a gridded corpus)."""
+    edges = np.quantile(values, np.linspace(0, 1, n_buckets + 1))
+    # merge tied edges so every bucket is a genuine half-open interval
+    edges = np.unique(edges)
+    out = []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        mask = (values >= lo) & ((values < hi) if hi < edges[-1]
+                                 else (values <= hi))
+        out.append(np.nonzero(mask)[0])
+    return out
+
+
+def response_stats(requested: np.ndarray, realized: np.ndarray) -> dict:
+    """Causality of conditioning along one feature dim.
+
+    requested: [P] swept condition values; realized: [P] mean measured
+    feature of the levels generated at each sweep point.  Reports the
+    Pearson correlation (the gate quantity: ~1 when the generator obeys
+    the condition, ~0 when it ignores it), the OLS slope (ideal 1.0 —
+    <1 means attenuated response), and the mean absolute requested-vs-
+    realized error."""
+    requested = np.asarray(requested, np.float64)
+    realized = np.asarray(realized, np.float64)
+    dq = requested - requested.mean()
+    dr = realized - realized.mean()
+    qss, rss = float(dq @ dq), float(dr @ dr)
+    if qss == 0.0 or rss == 0.0:
+        r, slope = 0.0, 0.0
+    else:
+        r = float((dq @ dr) / np.sqrt(qss * rss))
+        slope = float(dq @ dr) / qss
+    return {
+        "pearson_r": r,
+        "slope": slope,
+        "mae": float(np.abs(requested - realized).mean()),
+        "requested": requested.tolist(),
+        "realized": realized.tolist(),
     }
 
 

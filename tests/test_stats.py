@@ -60,3 +60,65 @@ def test_validate_cli(tmp_path):
     assert rc == 0 and report["passed"]
     assert report["tiles_sampled"] >= 100_000
     assert "chi2_per_dof_mean" in report
+
+
+def test_response_stats():
+    from levelgan.lio.stats import response_stats
+
+    req = np.linspace(0.1, 0.5, 5)
+    perfect = response_stats(req, req)
+    assert perfect["pearson_r"] > 0.999 and abs(perfect["slope"] - 1) < 1e-6
+    atten = response_stats(req, 0.5 * req + 0.1)
+    assert atten["pearson_r"] > 0.999 and abs(atten["slope"] - 0.5) < 1e-6
+    ignoring = response_stats(req, np.full(5, 0.3))
+    assert ignoring["pearson_r"] == 0.0 and ignoring["slope"] == 0.0
+
+
+def test_quantile_buckets_partition():
+    from levelgan.lio.stats import quantile_buckets
+
+    rng = np.random.default_rng(0)
+    v = rng.uniform(size=1000)
+    buckets = quantile_buckets(v, 4)
+    idx = np.sort(np.concatenate(buckets))
+    assert np.array_equal(idx, np.arange(1000))  # exact partition
+    sizes = [len(b) for b in buckets]
+    assert min(sizes) > 200  # roughly quantile-balanced
+    # heavily tied feature: buckets merge instead of erroring
+    tied = np.repeat([0.0, 1.0], 500)
+    tb = quantile_buckets(tied, 4)
+    assert sum(len(b) for b in tb) == 1000
+
+
+@pytest.mark.slow
+def test_eval_cond_cli(tmp_path):
+    """tools.eval_cond runs end-to-end on a (barely trained) conditional
+    checkpoint: sweep + bucketed chi2 produced, gate semantics honored."""
+    import json
+    from contextlib import redirect_stdout
+    import io as _io
+
+    from levelgan.api import train
+    from levelgan.config import preset
+    from tools.eval_cond import main as eval_cond_main
+
+    cfg = preset("conditional_32").override(**{
+        "train.steps": 2, "train.batch_size": 8, "train.n_critic": 1,
+        "model.base_channels": 16, "model.critic_base_channels": 16,
+        "model.group_size": 8,
+        "model.latent_dim": 16, "data.corpus_size": 64,
+        "io.log_every": 10, "io.ckpt_every": 10,
+        "io.out_dir": str(tmp_path)})
+    res = train(cfg, echo=False)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = eval_cond_main(["--ckpt", res["checkpoint"], "--n", "16",
+                             "--points", "3", "--buckets", "2",
+                             "--threshold", "-1.0"])
+    report = json.loads(buf.getvalue())
+    assert rc == 0 and report["passed"]  # threshold=-1 always passes
+    assert set(report["dims"]) == {"wall_frac", "hazard_frac",
+                                   "coin_frac", "goal_dist"}
+    swept = [v for v in report["dims"].values() if "requested" in v]
+    assert swept and all(len(v["requested"]) == 3 for v in swept)
+    assert any(report["bucketed_chi2"].values())

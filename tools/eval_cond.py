@@ -1,0 +1,151 @@
+"""Conditioning-causality evaluation for the conditional family (config 4).
+
+The statistical-identity gates (tools/validate) can pass even if the
+generator learned to IGNORE its condition input — they evaluate one fixed
+cond vector.  This tool measures whether conditioning is causal
+(SURVEY.md §4.2 statistical tier, "chi-square on per-position
+distributions for the conditional model"; BASELINE.json config 4):
+
+1. **Response sweep** — for each of the 4 condition dims
+   (data/features.py: wall_frac, hazard_frac, coin_frac, goal_dist),
+   sweep the requested value across the corpus's own q10..q90 range
+   (other dims held at the corpus mean), generate levels at each sweep
+   point, measure the realized features of the *outputs* with the same
+   ``level_features`` extractor the train step uses, and report
+   requested-vs-realized Pearson r / slope / MAE per dim
+   (lio/stats.response_stats).
+2. **Bucketed per-position chi-square** — split the corpus into quantile
+   buckets of each feature, condition generation on each bucket's mean
+   feature vector, and compare the generations' per-position tile
+   distributions against that bucket's corpus levels
+   (lio/stats.per_position_chi2) — the conditional analogue of the
+   unconditional positional gate.
+
+Gate: min-over-dims Pearson r >= --threshold (default 0.5).  Exit 0 iff
+the gate passes.  Usage:
+  python -m tools.eval_cond --ckpt <dir> [--n 256] [--points 5]
+                            [--buckets 3] [--threshold 0.5] [--out r.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+# Support both `python -m tools.eval_cond` and `python tools/eval_cond.py`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def corpus_features(levels: np.ndarray, batch: int = 4096) -> np.ndarray:
+    """level_features over a host corpus, batched through one jit program."""
+    import jax
+    from levelgan.data.features import level_features
+
+    feat = jax.jit(level_features)
+    out = [np.asarray(feat(levels[i:i + batch]))
+           for i in range(0, len(levels), batch)]
+    return np.concatenate(out, axis=0)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--n", type=int, default=256,
+                    help="levels generated per sweep point / bucket")
+    ap.add_argument("--points", type=int, default=5,
+                    help="sweep points per condition dim")
+    ap.add_argument("--buckets", type=int, default=3,
+                    help="corpus quantile buckets for the conditional chi2")
+    ap.add_argument("--threshold", type=float, default=0.5,
+                    help="min per-dim requested-vs-realized Pearson r")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="", help="optional JSON output path")
+    args = ap.parse_args(argv)
+
+    from tools.bench_all import _enable_compile_cache
+    _enable_compile_cache()
+
+    from levelgan.api import generate, make_dataset
+    from levelgan.cli.export import load_generator
+    from levelgan.data.features import FEATURE_NAMES
+    from levelgan.lio.stats import (per_position_chi2, quantile_buckets,
+                                    response_stats)
+    from levelgan.train.state import eval_generator_params
+
+    cfg, state = load_generator(args.ckpt)
+    if cfg.model.family != "tile":
+        raise SystemExit("eval_cond is tile-family only (the 4 condition "
+                         "dims are tile-level features, data/features.py)")
+    if not cfg.model.cond_dim:
+        raise SystemExit(f"checkpoint preset '{cfg.preset}' is unconditional "
+                         "(model.cond_dim=0); nothing to evaluate")
+    params = eval_generator_params(state)
+    ds = make_dataset(cfg)
+    corpus = np.asarray(ds.levels)
+    feats = corpus_features(corpus)          # [N, 4]
+    mean_feat = feats.mean(axis=0)
+
+    def realized(cond_vec, seed):
+        levels = generate(cfg, params, args.n, seed=seed,
+                          cond=np.asarray(cond_vec, np.float32))
+        return levels, corpus_features(levels)
+
+    report = {"preset": cfg.preset, "n_per_point": args.n,
+              "threshold": args.threshold, "corpus_feature_mean":
+              mean_feat.tolist(), "dims": {}}
+
+    # ---- 1. response sweep per condition dim -------------------------------
+    for d, name in enumerate(FEATURE_NAMES):
+        lo, hi = np.quantile(feats[:, d], [0.10, 0.90])
+        if hi <= lo:  # degenerate feature (constant corpus) — report, skip
+            report["dims"][name] = {"skipped": "constant corpus feature",
+                                    "pearson_r": None}
+            continue
+        requested = np.linspace(lo, hi, args.points)
+        realized_means = []
+        for j, v in enumerate(requested):
+            cond = mean_feat.copy()
+            cond[d] = v
+            _, f = realized(cond, seed=args.seed + 1000 * d + j)
+            realized_means.append(float(f[:, d].mean()))
+        report["dims"][name] = response_stats(requested,
+                                              np.asarray(realized_means))
+
+    # ---- 2. bucketed per-position chi-square -------------------------------
+    buckets_out = {}
+    for d, name in enumerate(FEATURE_NAMES):
+        rows = []
+        for b, idx in enumerate(quantile_buckets(feats[:, d], args.buckets)):
+            if len(idx) < 8:
+                continue
+            cond = feats[idx].mean(axis=0)
+            levels, f = realized(cond, seed=args.seed + 7000 + 100 * d + b)
+            chi2 = per_position_chi2(levels, corpus[idx], cfg.model.n_tiles)
+            rows.append({
+                "bucket": b, "n_corpus": int(len(idx)),
+                "requested": float(cond[d]),
+                "realized": float(f[:, d].mean()),
+                "chi2_per_dof_mean": chi2["chi2_per_dof_mean"],
+            })
+        buckets_out[name] = rows
+    report["bucketed_chi2"] = buckets_out
+
+    rs = [v["pearson_r"] for v in report["dims"].values()
+          if v.get("pearson_r") is not None]
+    report["min_pearson_r"] = min(rs) if rs else None
+    report["passed"] = bool(rs) and report["min_pearson_r"] >= args.threshold
+
+    text = json.dumps(report, indent=2)
+    print(text)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+    return 0 if report["passed"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
