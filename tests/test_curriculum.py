@@ -110,3 +110,26 @@ def test_solvable_reward_term(cfg):
     for k in ("g_loss", "g_rl", "d_loss"):
         assert np.isfinite(float(m[k])), k
     assert int(new_state.step) == 1
+
+
+def test_skill_gap_report(cfg):
+    """Post-training skill-gap eval (lio/skillgap.py): runs on a curriculum
+    state, reports per-agent returns and the generated-vs-corpus
+    separation; rejects states without agents."""
+    from levelgan.lio.skillgap import skill_gap_report
+    from levelgan.train.state import create_state
+
+    state = create_curriculum_state(cfg)
+    rng = np.random.default_rng(1)
+    gen = rng.integers(0, 8, size=(8, 16, 16)).astype(np.uint8)
+    corpus = rng.integers(0, 8, size=(8, 16, 16)).astype(np.uint8)
+    rep = skill_gap_report(cfg, state, gen, corpus)
+    for side in ("generated", "corpus"):
+        for k in ("return_strong", "return_weak", "return_gap",
+                  "playable_strong", "playable_weak", "playable_gap"):
+            assert np.isfinite(rep[side][k]), (side, k)
+    assert np.isfinite(rep["separation"])
+    assert np.isfinite(rep["playable_separation"])
+
+    with pytest.raises(ValueError, match="no trained agents"):
+        skill_gap_report(cfg, create_state(cfg), gen, corpus)

@@ -149,3 +149,22 @@ def test_race_curriculum_single_g_update_per_step():
               for l in jax.tree_util.tree_leaves(state.opt_g)
               if np.asarray(l).ndim == 0]
     assert 1 in counts and 2 not in counts
+
+
+def test_track_skill_gap_report():
+    """lio/skillgap.py handles the track family: race rollouts of the
+    checkpoint's own drivers on generated vs corpus tracks."""
+    from levelgan.lio.skillgap import skill_gap_report
+    from levelgan.track.train import create_track_curriculum_state
+
+    cfg = preset("race_curriculum_32").override(**TINY)
+    state = create_track_curriculum_state(cfg)
+    rng = np.random.default_rng(2)
+    gen = np.asarray(rng.normal(0, 0.1, (8, 16, 2)), np.float32)
+    corpus = np.asarray(rng.normal(0, 0.1, (8, 16, 2)), np.float32)
+    rep = skill_gap_report(cfg, state, gen, corpus)
+    for side in ("generated", "corpus"):
+        for k in ("return_gap", "playable_gap", "crashes_strong",
+                  "crashes_weak"):
+            assert np.isfinite(rep[side][k]), (side, k)
+    assert np.isfinite(rep["separation"])

@@ -10,6 +10,12 @@ Usage: python -m tools.eval_quality --ckpt <dir> [--n 1024] [--out report.json]
 Exit 0 always (reporting tool, not a gate). Track family: drivability via
 the deterministic scripted-driver lap test + geometry well-formedness
 (track/quality.py) instead of the tile solver.
+
+Curriculum checkpoints additionally get a ``skill_gap`` section
+(lio/skillgap.py): the checkpoint's own trained strong/weak agents roll
+on generated AND corpus levels, reporting whether the trained generator's
+levels separate agent skill better than corpus levels (the reference's
+signature claim, SURVEY.md R9).
 """
 
 from __future__ import annotations
@@ -59,14 +65,19 @@ def main(argv=None):
         from levelgan.track.quality import track_quality_report
         tracks = generate(cfg, eval_generator_params(state), args.n,
                           seed=args.seed, cond=cond, repair=args.repair)
+        corpus_tracks = np.asarray(ds.tracks[:max(args.n, 1)])
         report = {
             "preset": cfg.preset,
             "repair": bool(args.repair),
             "generated": track_quality_report(tracks),
-            "corpus": track_quality_report(ds.tracks[:max(args.n, 1)]),
+            "corpus": track_quality_report(corpus_tracks),
         }
         report["lap_gap"] = (report["corpus"]["lap_frac"]
                              - report["generated"]["lap_frac"])
+        if cfg.train.loss == "curriculum":
+            from levelgan.lio.skillgap import skill_gap_report
+            report["skill_gap"] = skill_gap_report(
+                cfg, state, tracks, corpus_tracks, seed=args.seed)
     else:
         levels = generate(cfg, eval_generator_params(state), args.n,
                           seed=args.seed, cond=cond, repair=args.repair)
@@ -81,6 +92,13 @@ def main(argv=None):
         }
         report["solvable_gap"] = (report["corpus"]["solvable_frac"]
                                   - report["generated"]["solvable_frac"])
+        if cfg.train.loss == "curriculum":
+            # the curriculum's defining objective, measured post-training:
+            # do the trained G's levels separate the checkpoint's own
+            # strong/weak agents more than corpus levels do?
+            from levelgan.lio.skillgap import skill_gap_report
+            report["skill_gap"] = skill_gap_report(
+                cfg, state, levels, np.asarray(corpus), seed=args.seed)
     text = json.dumps(report, indent=2)
     print(text)
     if args.out:
