@@ -35,16 +35,24 @@ from levelgan.train.wgan_gp import make_wgan_gp_step
 
 @functools.lru_cache(maxsize=32)
 def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
-                     repair: bool = False):
+                     repair: bool | None = None):
     """jit-compiled batched sampler: (params_g, key, cond) -> uint8 ids.
 
     Export path (SURVEY.md §3.2): z -> G -> argmax decode, all on-device;
     only the uint8 tile ids cross to host.  This is the levels/sec/chip
     benchmark surface (BASELINE.md).
 
-    ``repair=True`` (tile family): place missing START/GOAL tiles at the
-    generator's most-confident positions before packing — see
-    ops/repair.py for the measured motivation.
+    ``repair`` — family-specific exact output repair; ``None`` picks the
+    family default:
+      - tile family (default OFF): place missing START/GOAL tiles at the
+        generator's most-confident positions before packing (ops/repair.py).
+        Off by default so the exported marginals stay loss-identical to
+        the reference-shaped model the statistical-identity band gates.
+      - track family (default ON): exact heading-closure projection
+        (track/ops.closure_project) — closure_ok 0.29-0.43 -> 1.0 at
+        corpus-level diversity for one cumsum (BASELINE.md "Track-family
+        quality"); strictly dominates shipping raw non-closing loops, so
+        the export/render path applies it unless explicitly disabled.
 
     ``pack=True`` (requires n_tiles <= 128) additionally bit-packs the tile
     ids ON DEVICE at ``ceil(log2(n_tiles))`` bits per tile (bit-plane
@@ -56,6 +64,8 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
     from levelgan.data.codec import decode
     from levelgan.models import Generator
 
+    if repair is None:
+        repair = cfg.model.family == "track"  # see docstring
     if cfg.model.family == "track":
         from levelgan.track.models import TrackGenerator
 
@@ -197,7 +207,7 @@ def unpack_levels(packed: np.ndarray, level_size: int,
 
 @functools.lru_cache(maxsize=32)
 def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
-                          pack: bool, repair: bool = False):
+                          pack: bool, repair: bool | None = None):
     """ONE jit program generating ``n_batches`` batches via lax.fori_loop.
 
     Per-dispatch overhead dominates the export path (especially through the
@@ -226,7 +236,8 @@ def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
 
 def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
              batch_size: int = 1024, cond=None,
-             pack: bool | None = None, repair: bool = False) -> np.ndarray:
+             pack: bool | None = None,
+             repair: bool | None = None) -> np.ndarray:
     """Generate ``n`` levels.
 
     Tile family: host uint8 [n, H, W]; ``pack=None`` auto-enables on-device
@@ -235,8 +246,10 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
     byte plane); the result is unpacked on host either way.  ``repair=True``
     guarantees >=1 START and >=1 GOAL per level (ops/repair.py).
     Track family: float32 [n, T, 2] (curvature, width) sequences — packing
-    does not apply (rejected); ``repair=True`` applies the exact
-    heading-closure projection (track/ops.py closure_project).
+    does not apply (rejected); repair applies the exact heading-closure
+    projection (track/ops.py closure_project) and DEFAULTS ON
+    (``repair=None`` resolves per family — see make_generate_fn); pass
+    ``repair=False`` for the raw emitter output.
     """
     batch_size = min(batch_size, n)
     if cfg.model.family == "track":
@@ -460,8 +473,9 @@ def train(cfg: Config, *, mesh=None, echo: bool = True) -> dict:
     if cfg.io.compile_cache:
         # Persistent XLA compile cache: a preset's first compile costs
         # 20-40s through the relay; warm resumes start in seconds.
-        jax.config.update("jax_compilation_cache_dir", cfg.io.compile_cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from levelgan.xla_cache import enable as enable_xla_cache
+        enable_xla_cache(None if cfg.io.compile_cache == "auto"
+                         else cfg.io.compile_cache)
     if mesh is None:
         from levelgan.dist.mesh import init_distributed
         init_distributed(cfg.dist)

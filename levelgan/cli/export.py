@@ -32,9 +32,14 @@ PALETTE = np.array([
 
 def load_generator(ckpt: str):
     # Accept either a step directory (.../ckpt/step_00001000) or the ckpt
-    # parent; for the parent, pick the newest complete step (a bare run
-    # directory with an out_dir/ckpt tree also resolves, one level down).
-    if not os.path.exists(os.path.join(ckpt, "manifest.json")):
+    # parent; for the parent, walk candidates newest-to-oldest past
+    # unreadable ones (a truncated arrays.npz from a mid-writeback crash
+    # must not make the whole run unloadable — mirrors api.train's
+    # resume='auto' corrupt-skip; a bare run directory with an
+    # out_dir/ckpt tree also resolves, one level down).
+    if os.path.exists(os.path.join(ckpt, "manifest.json")):
+        candidates = [ckpt]
+    else:
         from levelgan.lio.checkpoint import all_checkpoints
         candidates = (all_checkpoints(ckpt)
                       or all_checkpoints(os.path.join(ckpt, "ckpt")))
@@ -42,15 +47,23 @@ def load_generator(ckpt: str):
             raise FileNotFoundError(
                 f"no checkpoint found under {ckpt!r} (expected a step dir "
                 "with manifest.json, or a parent containing step_* dirs)")
-        ckpt = candidates[-1]
-    cfg = Config.from_dict(load_manifest(ckpt)["config"])
-    from levelgan.api import make_state
-    # jit the example-state init: eager init is hundreds of small dispatches
-    # (minutes through the dev relay at ~28ms each); jitted it is one
-    example = jax.device_get(
-        jax.jit(lambda k: make_state(cfg, k))(rng.key(cfg, 0)))
-    state, cfg = load_checkpoint(ckpt, example)
-    return cfg, state
+    errors = []
+    for path in reversed(candidates):
+        try:
+            cfg = Config.from_dict(load_manifest(path)["config"])
+            from levelgan.api import make_state
+            # jit the example-state init: eager init is hundreds of small
+            # dispatches (minutes through the dev relay at ~28ms each);
+            # jitted it is one
+            example = jax.device_get(
+                jax.jit(lambda k: make_state(cfg, k))(rng.key(cfg, 0)))
+            state, cfg = load_checkpoint(path, example)
+            return cfg, state
+        except Exception as e:  # corrupt/truncated step: try the previous one
+            errors.append(f"{path}: {e}")
+    raise FileNotFoundError(
+        "no readable checkpoint under {!r}; tried newest-to-oldest:\n  {}"
+        .format(ckpt, "\n  ".join(errors)))
 
 
 def write_txt(path: str, levels: np.ndarray):
@@ -97,12 +110,18 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cond", default=None,
                     help="comma-separated feature vector (conditional models)")
-    ap.add_argument("--repair", action="store_true",
-                    help="ensure >=1 START and >=1 GOAL per level, placed at "
-                         "the generator's most-confident positions "
-                         "(tile family; ops/repair.py)")
+    ap.add_argument("--repair", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="family-specific exact output repair. Tile family "
+                         "(default off): ensure >=1 START and >=1 GOAL per "
+                         "level at the generator's most-confident positions "
+                         "(ops/repair.py). Track family (default ON): exact "
+                         "heading-closure projection (track/ops.py); "
+                         "--no-repair exports the raw emitter output.")
     args = ap.parse_args(argv)
 
+    from levelgan.xla_cache import enable as enable_xla_cache
+    enable_xla_cache()
     cfg, state = load_generator(args.ckpt)
     cond = None
     if args.cond is not None:

@@ -214,10 +214,12 @@ class IOConfig:
     # 0.82 -> 0.59), so the last checkpoint is rarely the most playable one.
     # Requires quality_every > 0 (tile family).
     keep_best: bool = False
-    # Persistent XLA compilation cache directory ('' = disabled).  First
-    # compile of a preset costs 20-40s through the dev relay; a warm cache
-    # makes re-runs/resumes start in seconds (SURVEY.md §5.1 ergonomics).
-    compile_cache: str = ""
+    # Persistent XLA compilation cache directory ('' = disabled; 'auto' =
+    # <repo>/.xla_cache).  First compile of a preset costs 20-40s through
+    # the dev relay — with pathological days observed at 600s+ — so the
+    # cache is ON by default since round 3; warm runs start in seconds
+    # (SURVEY.md §5.1 ergonomics; results unaffected — keyed on exact HLO).
+    compile_cache: str = "auto"
 
     def __post_init__(self):
         if self.keep_best and not self.quality_every:

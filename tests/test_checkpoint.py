@@ -101,3 +101,35 @@ def test_load_generator_accepts_parent_dir(cfg, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="no checkpoint"):
         load_generator(str(tmp_path / "empty"))
+
+
+def test_load_generator_skips_corrupt_newest(cfg, tmp_path):
+    """A truncated arrays.npz in the newest step (host crash mid-writeback)
+    must not make the run unloadable: load_generator walks newest-to-oldest
+    past unreadable steps, mirroring api.train's resume='auto'."""
+    import os
+
+    from levelgan.cli.export import load_generator
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    state = create_state(cfg)
+    save_checkpoint(ckpt_dir, state, cfg)
+    state2 = create_state(cfg, jax.random.key(7))
+    state2 = state2.replace(step=state2.step + 5)
+    save_checkpoint(ckpt_dir, state2, cfg)
+
+    newest = sorted(os.listdir(ckpt_dir))[-1]
+    arrays = os.path.join(ckpt_dir, newest, "arrays.npz")
+    with open(arrays, "r+b") as f:       # truncate mid-file
+        f.truncate(os.path.getsize(arrays) // 2)
+
+    cfg2, restored = load_generator(ckpt_dir)
+    assert int(restored.step) == 0       # fell back to the older step
+
+    # all steps unreadable -> loud failure listing what was tried
+    oldest_arrays = os.path.join(ckpt_dir, sorted(os.listdir(ckpt_dir))[0],
+                                 "arrays.npz")
+    with open(oldest_arrays, "r+b") as f:
+        f.truncate(1)
+    with pytest.raises(FileNotFoundError, match="no readable checkpoint"):
+        load_generator(ckpt_dir)

@@ -187,3 +187,22 @@ def test_generate_repair_track_family():
                       batch_size=8, repair=True)
     turn = np.abs(np.asarray(tracks)[..., 0].sum(-1))
     np.testing.assert_allclose(turn, 2 * np.pi, atol=1e-3)
+
+
+def test_generate_track_repair_defaults_on():
+    """repair=None resolves to the family default: track export is
+    closure-projected unless explicitly disabled (BASELINE.md round-3:
+    the projection is exact and diversity-preserving, so the default
+    export/render path ships closed loops)."""
+    from levelgan.api import generate, make_state
+    from levelgan.train.state import eval_generator_params
+
+    cfg = preset("racetrack_32").override(**TINY)
+    state = make_state(cfg, jax.random.key(0))
+    params = eval_generator_params(state)
+    default = generate(cfg, params, 8, seed=1, batch_size=8)
+    turn = np.abs(np.asarray(default)[..., 0].sum(-1))
+    np.testing.assert_allclose(turn, 2 * np.pi, atol=1e-3)
+    raw = generate(cfg, params, 8, seed=1, batch_size=8, repair=False)
+    raw_turn = np.abs(np.asarray(raw)[..., 0].sum(-1))
+    assert np.abs(raw_turn - 2 * np.pi).max() > 1e-3  # raw does NOT close

@@ -25,20 +25,9 @@ PRESETS = ("toy_dcgan_16", "wgan_gp_32", "gumbel_64", "conditional_32",
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache for every bench entrypoint.
-
-    The relay's compile path has pathological days (observed: 600s for the
-    toy preset that normally compiles in ~20s); a repo-local cache makes
-    benchmark runs hit previously-compiled programs in seconds regardless.
-    Results are unaffected — the cache keys on the exact HLO + backend."""
-    import os
-
-    import jax
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".xla_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    """Persistent XLA compile cache (delegates to levelgan.xla_cache)."""
+    from levelgan.xla_cache import enable
+    enable()
 
 
 def bench_preset(name: str, k: int, trials: int,

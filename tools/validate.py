@@ -12,8 +12,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 
 import numpy as np
+
+# Support both `python -m tools.validate` and `python tools/validate.py`
+# (the latter lacks the repo root on sys.path, so `tools.` imports fail).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
