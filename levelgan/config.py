@@ -91,6 +91,11 @@ class TrainConfig:
     # in-training fix for the rare-tile mode-drop the quality eval exposes
     # (BASELINE.md "Sample quality"); tile family only.
     w_presence: float = 0.0
+    # Weight of the presence prior's batch-placement SPREAD term (round-3
+    # fix for the measured positional collapse: concentration alone sends
+    # structural chi2/dof 7.6 -> 846 — BASELINE.md "Sample quality").
+    # Only active when w_presence > 0; 0 recovers the round-2 prior.
+    presence_spread: float = 1.0
     # Heading-closure prior on the track generator (track/ops.py
     # closure_penalty): squared error between |sum of curvature| and 2*pi,
     # differentiable pathwise through the tanh-bounded curvature output.

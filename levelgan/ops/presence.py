@@ -37,6 +37,28 @@ straight-through head the forward max is binary (the tile is either
 sampled somewhere or not), and the gradient routes to the underlying
 softmax of the best cell.
 
+Why the SPREAD term (round-3 fix for the measured positional collapse):
+the count+concentration prior reaches 0.943 solvable on wgan_gp_32 but
+inflates the structural channels' per-position chi2/dof 7.6 -> 846
+(BASELINE.md round 2): the concentration hinge's gradient always lands
+on each level's current-best cell, so the generator satisfies it
+cheapest by committing the SAME few cells for every z — placement
+collapses even though per-level commitment is exactly what we asked
+for.  The spread term penalizes that batch-level collapse directly and
+nothing else: per structural tile, take each level's *normalized*
+placement distribution over cells, average it over the batch, and
+require the effective fraction of cells used (inverse Simpson index,
+normalized by the most a batch of B one-hot placements could use:
+min(B, HW)) to stay above ``min_eff``.  Corpus-shaped placement (an
+approximately uniform-random cell per level) is far above the floor, so
+the term vanishes at the corpus optimum like the other two hinges; a
+generator funneling all levels onto a few favored cells sits below it
+and gets pushed to diversify ACROSS z, not within a level (each level
+still commits one cell).  Under data-parallel sharding the batch
+marginal is the per-device one — a statistical regularizer, not a
+collective (documented; the DP bit-match guarantee covers the default
+``w_presence=0`` path).
+
 Reference parity: no equivalent (the reference's answer to playability is
 the RL curriculum, SURVEY.md R9); default ``w_presence=0.0`` keeps every
 preset loss-identical to the reference-shaped objective.
@@ -53,19 +75,44 @@ STRUCTURAL_TILES = (START, GOAL)
 
 
 def presence_penalty(fake: jax.Array, tiles=STRUCTURAL_TILES,
-                     target: float = 1.0) -> jax.Array:
-    """Mean hinge penalty on structural-tile presence, count + concentration.
+                     target: float = 1.0, w_spread: float = 1.0,
+                     min_eff: float = 0.25) -> jax.Array:
+    """Mean hinge penalty on structural-tile presence:
+    count + concentration + placement spread.
 
     fake: [B, H, W, n_tiles] relaxed or straight-through one-hot sample
     (channel last = tile probability/indicator).  Returns a scalar:
     ``mean_b,t [relu(target - sum_hw fake[b,..,t])^2
-                + relu(1 - max_hw fake[b,..,t])^2]`` — zero exactly when
-    every level both carries >= ``target`` expected tiles of every kind in
-    ``tiles`` AND commits at least one cell to each with probability ~1
-    (so the argmax decode actually emits it; see module docstring).
+                + relu(1 - max_hw fake[b,..,t])^2]
+      + w_spread * mean_t relu(min_eff - eff_t)^2`` where ``eff_t`` is
+    the effective fraction of achievable cells the batch's committed
+    tile-t placements cover (inverse Simpson index of the batch-mean
+    placement distribution, / min(B, HW)).  Zero exactly when every
+    level carries >=
+    ``target`` expected tiles of every kind in ``tiles``, commits at
+    least one cell to each with probability ~1 (so the argmax decode
+    actually emits it), AND the batch spreads those commitments over >=
+    ``min_eff`` of the achievable min(B, HW) distinct cells (see module docstring for the measured
+    motivation of each term).  ``w_spread=0`` recovers the round-2
+    count+concentration prior.
     """
     chans = fake[..., jnp.asarray(tiles)].astype(jnp.float32)  # [B,H,W,|t|]
     count_deficit = jax.nn.relu(
         jnp.float32(target) - chans.sum(axis=(1, 2)))          # [B, |t|]
     conc_deficit = jax.nn.relu(1.0 - chans.max(axis=(1, 2)))   # [B, |t|]
-    return (jnp.square(count_deficit) + jnp.square(conc_deficit)).mean()
+    pen = (jnp.square(count_deficit) + jnp.square(conc_deficit)).mean()
+    if w_spread:
+        b, hw = chans.shape[0], chans.shape[1] * chans.shape[2]
+        # each level's placement distribution over cells (levels without
+        # the tile contribute ~nothing: their q sums to ~0, not uniform)
+        q = chans / (chans.sum(axis=(1, 2), keepdims=True) + 1e-6)
+        marginal = q.mean(axis=0)                              # [H, W, |t|]
+        simpson = jnp.square(marginal).sum(axis=(0, 1))        # [|t|]
+        # inverse Simpson = effective number of cells used; a batch of B
+        # one-hot placements can use at most min(B, HW) distinct cells,
+        # so normalize by that: uniform-random placement -> eff ~ 1
+        # (collision-depressed by ~(1 + B/HW)), total collapse -> 1/B
+        eff = 1.0 / (min(b, hw) * simpson + 1e-9)
+        spread_deficit = jax.nn.relu(jnp.float32(min_eff) - eff)
+        pen = pen + w_spread * jnp.square(spread_deficit).mean()
+    return pen

@@ -182,7 +182,7 @@ def make_curriculum_step(cfg: Config):
                 # structural-tile presence prior (ops/presence.py): direct
                 # pathwise gradient alongside the score-function terms
                 from levelgan.ops.presence import presence_penalty
-                pres = presence_penalty(fake)
+                pres = presence_penalty(fake, w_spread=t.presence_spread)
                 loss = loss + t.w_presence * pres
             return loss, (gan_term, rl_term, pres)
 

@@ -108,7 +108,7 @@ def make_gan_step(cfg: Config):
             if t.w_presence:
                 # structural-tile presence prior (ops/presence.py)
                 from levelgan.ops.presence import presence_penalty
-                pres = presence_penalty(fake2)
+                pres = presence_penalty(fake2, w_spread=t.presence_spread)
                 loss = loss + t.w_presence * pres
             return loss, (fake2, pres)
 

@@ -126,7 +126,7 @@ def make_wgan_gp_step(cfg: Config):
                 # structural-tile presence prior (ops/presence.py): direct
                 # low-variance gradient against rare-tile mode-drop
                 from levelgan.ops.presence import presence_penalty
-                pres = presence_penalty(fake)
+                pres = presence_penalty(fake, w_spread=t.presence_spread)
                 loss = loss + t.w_presence * pres
             return loss, (fake, pres)
 

@@ -122,3 +122,60 @@ def test_track_family_rejects_presence():
 def test_negative_weight_rejected():
     with pytest.raises(ValueError, match="w_presence"):
         preset("wgan_gp_32").override(**{"train.w_presence": -0.5})
+
+
+def test_spread_zero_for_uniform_placement():
+    """Corpus-shaped placement (a random cell per level) sits far above
+    the min_eff floor -> the spread term vanishes at the corpus optimum."""
+    rng = np.random.default_rng(0)
+    b, h = 64, 8
+    ids = np.zeros((b, h, h), np.uint8)
+    cells = rng.integers(0, h * h, size=(b, 2))
+    for i in range(b):
+        ids[i, cells[i, 0] // h, cells[i, 0] % h] = START
+        ids[i, cells[i, 1] // h, cells[i, 1] % h] = GOAL
+    # overwrite collisions where GOAL landed on START's cell
+    ids[np.arange(b), cells[:, 0] // h, cells[:, 0] % h] = START
+    x = _onehot_level(ids)
+    assert float(presence_penalty(x)) == pytest.approx(
+        float(presence_penalty(x, w_spread=0.0)), abs=1e-7)
+
+
+def test_spread_penalizes_positional_collapse():
+    """Every level committing the SAME cell (the measured chi2-846 failure
+    shape) is penalized by the spread term and invisible to the round-2
+    count+concentration prior."""
+    b, h = 64, 8
+    ids = np.zeros((b, h, h), np.uint8)
+    ids[:, 1, 1] = START
+    ids[:, 6, 6] = GOAL
+    x = _onehot_level(ids)
+    old = float(presence_penalty(x, w_spread=0.0))
+    new = float(presence_penalty(x))
+    assert old == 0.0                      # round-2 prior is blind to this
+    assert new > 1e-3                      # spread term sees it
+    # gradient exists and points somewhere
+    g = jax.grad(lambda y: presence_penalty(y))(x)
+    assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_spread_gradient_diversifies():
+    """The spread gradient should *lower* the collapsed cell's probability
+    relative to unused cells (pushing placement apart across the batch)."""
+    b, h = 16, 4
+    # soft placements: every level puts mass 0.9 on cell (1,1), rest diffuse
+    probs = np.full((b, h, h, 8), 1e-3, np.float32)
+    probs[..., START] = 0.01
+    probs[:, 1, 1, START] = 0.9
+    probs[..., GOAL] = 0.5 / (h * h)       # GOAL diffuse: not collapsed
+    probs[:, 0, 0, GOAL] = 0.6
+    x = jnp.asarray(probs)
+    # isolate the spread component (the concentration hinge's own gradient
+    # pulls the max cell up; the spread term must push it down)
+    g = jax.grad(lambda y: presence_penalty(y, w_spread=1.0)
+                 - presence_penalty(y, w_spread=0.0))(x)
+    g_start = np.asarray(g[..., START])
+    # ascent direction at the collapsed cell must be positive (penalty
+    # increases with more mass there) i.e. gradient-descent reduces it
+    assert g_start[:, 1, 1].mean() > 0.0
+    assert g_start[:, 1, 1].mean() > g_start[:, 2, 2].mean()
