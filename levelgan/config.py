@@ -193,6 +193,15 @@ class CurriculumConfig:
     w_solvable: float = 0.0
     g_baseline_decay: float = 0.9
     agent_updates_per_step: int = 1
+    # Per-cell REINFORCE credit (round 3): weight each cell's logp by the
+    # agents' dilated trajectory-visitation instead of spreading the
+    # whole-level advantage uniformly over all H*W cells.  Cells the
+    # episodes never came near contribute no score-function gradient, so
+    # the G update stops paying variance for irrelevant cells — the
+    # measured lever against the 0.866 un-repaired solvable ceiling
+    # (BASELINE.md round-2 "measured limits"; whole-level credit was the
+    # bottleneck).  Off by default (reference-shaped REINFORCE).
+    cell_credit: bool = False
 
 
 @dataclass(frozen=True)

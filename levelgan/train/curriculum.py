@@ -169,12 +169,39 @@ def make_curriculum_step(cfg: Config):
             level_reward = level_reward + cur.w_solvable * sol
         advantage = jax.lax.stop_gradient(level_reward - state.g_baseline)
 
+        credit = None
+        if cur.cell_credit:
+            # Per-cell credit: weight each cell's logp by where the
+            # episodes actually went (both agents' visitation, dilated one
+            # cell so bumped-into walls/hazards on the path boundary get
+            # credit too — the agent never *occupies* the wall that blocks
+            # it).  Normalized to mean 1 over cells so the rl_term scale
+            # matches the uniform whole-level estimator it replaces.
+            hsz = m.level_size
+
+            def visit_map(traj):
+                flat = traj.pos[..., 0] * hsz + traj.pos[..., 1]   # [T, B]
+                oh = jax.nn.one_hot(flat, hsz * hsz, dtype=jnp.float32)
+                return oh.sum(0).reshape(bsz, hsz, hsz)
+
+            visit = ((visit_map(traj_s) + visit_map(traj_w)) > 0
+                     ).astype(jnp.float32)
+            dilated = jax.lax.reduce_window(
+                visit, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
+            credit = jax.lax.stop_gradient(
+                dilated * (hsz * hsz)
+                / (dilated.sum(axis=(1, 2), keepdims=True) + 1e-6))
+
         def g_loss_fn(lg):
             fake = sample_head(k_sg, lg, m.head, tau)
             gan_term = -d_apply(params_d, fake, cond_g).mean()
             # score-function estimator on the same sampled levels
             logp_map = jax.nn.log_softmax(lg, axis=-1)
-            logp = jnp.sum(logp_map * levels_soft, axis=(1, 2, 3))
+            logp_cell = jnp.sum(logp_map * levels_soft, axis=-1)  # [B, H, W]
+            if credit is not None:
+                logp = jnp.sum(logp_cell * credit, axis=(1, 2))
+            else:
+                logp = jnp.sum(logp_cell, axis=(1, 2))
             rl_term = -(advantage * logp).mean() / (m.level_size ** 2)
             loss = gan_term + rl_term
             pres = None

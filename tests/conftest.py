@@ -13,6 +13,14 @@ import pytest
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent XLA compile cache for the suite: the fast tier is dominated by
+# CPU jit compiles of the step programs (~7 min cold on this 1-core host);
+# with the cache, repeat runs hit disk. Keyed on exact HLO + backend, so
+# correctness is unaffected; .xla_cache is gitignored.
+from levelgan.xla_cache import enable as _enable_xla_cache
+
+_enable_xla_cache()
+
 
 @pytest.fixture(scope="session")
 def devices8():

@@ -69,7 +69,21 @@ def test_gradient_descent_closes_a_loop():
     assert float(closure_penalty(tr)) < 1e-6
 
 
-def test_track_wgan_step_with_closure_runs_and_is_critic_neutral():
+def test_track_wgan_step_with_closure_runs():
+    """Fast tier: the w_closure branch traces, runs, and logs the metric."""
+    from levelgan.track.train import create_track_state, make_track_wgan_step
+
+    cfg = preset("racetrack_32").override(
+        **TINY, **{"train.w_closure": 1.0})
+    batch = np.asarray(
+        np.random.default_rng(0).normal(0, 0.1, (2, 8, 16, 2)), np.float32)
+    _, m1 = jax.jit(make_track_wgan_step(cfg))(create_track_state(cfg), batch)
+    assert np.isfinite(float(m1["g_loss"]))
+    assert np.isfinite(float(m1["closure"])) and float(m1["closure"]) >= 0
+
+
+@pytest.mark.slow
+def test_track_wgan_step_closure_is_critic_neutral():
     from levelgan.track.train import create_track_state, make_track_wgan_step
 
     cfg = preset("racetrack_32").override(

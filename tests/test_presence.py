@@ -89,7 +89,18 @@ def test_gradient_recovers_expected_counts():
     assert float(chans.max(axis=(1, 2)).min()) > 0.8      # concentration
 
 
-def test_wgan_step_with_presence_runs_and_is_critic_neutral():
+def test_wgan_step_with_presence_runs():
+    """Fast tier: the w_presence branch traces, runs, and logs the metric."""
+    cfg = preset("wgan_gp_32").override(
+        **TINY, **{"train.n_critic": 2, "train.w_presence": 10.0})
+    batch = _batch(cfg, n_critic=2)
+    _, m1 = jax.jit(make_wgan_gp_step(cfg))(create_state(cfg), batch)
+    assert np.isfinite(float(m1["g_loss"]))
+    assert np.isfinite(float(m1["presence"])) and float(m1["presence"]) >= 0
+
+
+@pytest.mark.slow
+def test_wgan_step_presence_is_critic_neutral():
     # NOTE: at INIT the generator emits ~H*W/n_tiles expected tiles per
     # structural channel, so the hinge is satisfied and contributes zero
     # gradient — the prior only engages once training has mode-dropped the

@@ -85,16 +85,21 @@ def test_k1_backward_parity_on_tpu(b, h, ci, co):
 
 
 def test_k1_backward_parity_widest_stage_bf16():
-    """The widest gumbel_64 stage in the SHIPPED bf16 dtype — the shape
-    whose f32 variant cannot fit scoped VMEM.  Mosaic-compiled (no
-    'highest' wrapper: Mosaic rejects fp32-precision matmul on bf16
-    operands); tolerances at bf16 rounding scale."""
+    """The widest gumbel_64 stage in the SHIPPED bf16 dtype — exactly the
+    shape the use_pallas=true gumbel_64 train step runs.  The monolithic
+    kernel does not fit scoped VMEM here, so the dispatch MUST route to
+    the K1L row-tiled folded-emit variant (kernels/upsample_rows.py) —
+    asserted, not skipped.  Mosaic-compiled (no 'highest' wrapper: Mosaic
+    rejects fp32-precision matmul on bf16 operands); tolerances at bf16
+    rounding scale."""
     from levelgan.kernels.upsample_block import pallas_fits
+    from levelgan.kernels.upsample_rows import rows_fits
 
     b, h, ci, co = 64, 32, 64, 32
-    if not pallas_fits(b, h, h, ci, co, jnp.bfloat16):
-        pytest.skip("widest stage routes to the XLA twin at this shape "
-                    "(monolithic-spatial kernel; row-tiled variant pending)")
+    # routing contract for the shipped shape: monolithic out, rows in
+    assert not pallas_fits(b, h, h, ci, co, jnp.bfloat16)
+    assert rows_fits(b, h, h, ci, co, jnp.bfloat16), \
+        "widest gumbel_64 stage must route through the K1L rows kernel"
     x, w, gamma, beta = _stage_io(b, h, ci, co)
     gx = _k1_grads(upsample_block_xla, x, w, gamma, beta, jnp.bfloat16)
     gp = _k1_grads(upsample_block_pallas, x, w, gamma, beta, jnp.bfloat16)
