@@ -37,24 +37,36 @@ def per_position_counts(levels: np.ndarray, n_tiles: int) -> np.ndarray:
 
 
 def per_position_chi2(gen_levels: np.ndarray, ref_levels: np.ndarray,
-                      n_tiles: int) -> dict:
+                      n_tiles: int, channels: dict | None = None) -> dict:
     """Mean per-cell chi-square statistic of gen vs ref per-position
     tile distributions (expected counts from ref, add-one smoothed),
-    normalized per generated sample.  Returns summary stats."""
+    normalized per generated sample.  Returns summary stats.
+
+    ``channels`` (name -> tuple of tile ids) adds per-subset breakdowns —
+    the per-cell chi2 contribution restricted to those tile channels, one
+    dof per channel.  Used to isolate the STRUCTURAL channels
+    (START/GOAL): the presence prior's measured positional collapse lives
+    there while the full-vocabulary statistic dilutes it 4x
+    (BASELINE.md "Sample quality")."""
     n_gen = len(gen_levels)
     gen_c = per_position_counts(gen_levels, n_tiles).astype(np.float64)
     ref_c = per_position_counts(ref_levels, n_tiles).astype(np.float64)
     ref_p = (ref_c + 1.0) / (ref_c.sum(-1, keepdims=True) + n_tiles)
     expected = ref_p * n_gen
-    chi2 = ((gen_c - expected) ** 2 / expected).sum(-1)  # [H, W]
+    contrib = (gen_c - expected) ** 2 / expected   # [H, W, n_tiles]
+    chi2 = contrib.sum(-1)                         # [H, W]
     dof = n_tiles - 1
-    return {
+    out = {
         "chi2_mean": float(chi2.mean()),
         "chi2_max": float(chi2.max()),
         "dof": dof,
         # per-cell chi2/dof ~ 1 when distributions match
         "chi2_per_dof_mean": float(chi2.mean() / dof),
     }
+    for name, tiles in (channels or {}).items():
+        sub = contrib[..., list(tiles)]            # [H, W, |tiles|]
+        out[f"chi2_per_dof_{name}"] = float(sub.mean())
+    return out
 
 
 def quantile_buckets(values: np.ndarray, n_buckets: int) -> list[np.ndarray]:

@@ -122,3 +122,22 @@ def test_eval_cond_cli(tmp_path):
     swept = [v for v in report["dims"].values() if "requested" in v]
     assert swept and all(len(v["requested"]) == 3 for v in swept)
     assert any(report["bucketed_chi2"].values())
+
+
+def test_chi2_channel_breakdown():
+    """channels= adds per-subset chi2 that isolates a planted positional
+    anomaly in one tile channel."""
+    from levelgan.config import GOAL, START
+    from levelgan.lio.stats import per_position_chi2
+
+    ref = synthetic_corpus(512, 16, seed=3)
+    gen = synthetic_corpus(512, 16, seed=4).copy()
+    gen[:, 2, 2] = START                       # collapse START onto one cell
+    r = per_position_chi2(gen, ref, 8,
+                          channels={"structural": (START, GOAL)})
+    assert "chi2_per_dof_structural" in r
+    base = per_position_chi2(synthetic_corpus(512, 16, seed=5), ref, 8,
+                             channels={"structural": (START, GOAL)})
+    # the anomaly shows up far stronger in the structural channel stat
+    assert (r["chi2_per_dof_structural"]
+            > 5 * base["chi2_per_dof_structural"])

@@ -69,7 +69,8 @@ def _ref_hist(seed: int, steps: int, n: int, n_tiles: int,
     return tile_hist(sample_levels(g, n, seed=seed), n_tiles)
 
 
-def _gen_hist(seed: int, steps: int, n: int, n_tiles: int) -> np.ndarray:
+def _gen_hist(seed: int, steps: int, n: int, n_tiles: int,
+              overrides: dict | None = None) -> np.ndarray:
     import shutil
     import tempfile
 
@@ -81,7 +82,8 @@ def _gen_hist(seed: int, steps: int, n: int, n_tiles: int) -> np.ndarray:
         cfg = preset("toy_dcgan_16").override(**{
             "train.steps": steps, "train.seed": seed,
             "io.out_dir": out_dir,
-            "io.log_every": 0, "io.ckpt_every": 0})
+            "io.log_every": 0, "io.ckpt_every": 0,
+            **(overrides or {})})
         res = train(cfg, echo=False)
         lv = generate(cfg, eval_generator_params(res["state"]), n, seed=seed)
         return tile_hist(np.asarray(lv), n_tiles)
@@ -109,7 +111,15 @@ def main(argv=None):
     ap.add_argument("--backend", default="cpu", choices=("cpu", "default"),
                     help="JAX backend for the levelgan runs; 'cpu' (default) "
                          "keeps the gate reproducible and leaves the TPU free")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="dotted config override applied to the LEVELGAN "
+                         "runs only (the torch reference arm stays the "
+                         "reference default) — e.g. --set "
+                         "train.r1_gamma=0.5 shows the stabilized config "
+                         "still sits inside the reference's identity band")
     args = ap.parse_args(argv)
+    from levelgan.cli.train import parse_overrides
+    overrides = parse_overrides(args.set)
 
     if args.backend == "cpu":
         import jax
@@ -133,8 +143,9 @@ def main(argv=None):
         print(f"[ref_band] reference seed {s} @{args.steps}: "
               f"KL-to-corpus {k:.4f}", flush=True)
     for s in range(args.seeds):
-        k = float(kl_divergence(_gen_hist(s, args.steps, args.n, n_tiles),
-                                corpus_hist))
+        k = float(kl_divergence(
+            _gen_hist(s, args.steps, args.n, n_tiles, overrides),
+            corpus_hist))
         gen_kls.append(k)
         print(f"[ref_band] levelgan seed {s} @{args.steps}: "
               f"KL-to-corpus {k:.4f}", flush=True)
@@ -144,7 +155,7 @@ def main(argv=None):
     # ---- (2) cross-identity at convergence (leave-one-out calibrated) ------
     ref_h = [_ref_hist(s, args.conv_steps, args.n, n_tiles, corpus)
              for s in range(args.conv_seeds)]
-    gen_h = [_gen_hist(s, args.conv_steps, args.n, n_tiles)
+    gen_h = [_gen_hist(s, args.conv_steps, args.n, n_tiles, overrides)
              for s in range(args.conv_seeds)]
     ref_pool = np.sum(ref_h, axis=0)
 
@@ -169,6 +180,7 @@ def main(argv=None):
 
     report = {
         "config": "toy_dcgan_16 (BASELINE.json config 1)",
+        "levelgan_overrides": overrides,
         "band": {
             "steps": args.steps, "seeds": args.seeds,
             "levels_per_run": args.n, "tiles_per_run": args.n * 256,

@@ -69,7 +69,9 @@ def main(argv=None):
                       repair=args.repair)
     gate = kl_gate(levels, ds.tile_histogram(cfg.model.n_tiles),
                    cfg.model.n_tiles, args.kl_threshold)
-    chi2 = per_position_chi2(levels, ds.levels, cfg.model.n_tiles)
+    from levelgan.config import GOAL, START
+    chi2 = per_position_chi2(levels, ds.levels, cfg.model.n_tiles,
+                             channels={"structural": (START, GOAL)})
 
     report = {"preset": cfg.preset, "repair": bool(args.repair),
               "n_levels": int(n), **gate, **chi2}
