@@ -96,6 +96,16 @@ class TrainConfig:
     # structural chi2/dof 7.6 -> 846 — BASELINE.md "Sample quality").
     # Only active when w_presence > 0; 0 recovers the round-2 prior.
     presence_spread: float = 1.0
+    # Conditioning feature-matching loss (round 3): L2 between the relaxed
+    # fake sample's differentiable features (data/features.py
+    # soft_level_features) and the condition it was generated under.  The
+    # causality eval (tools/eval_cond) measured that the adversarial
+    # pairing alone only teaches G the dominant feature (wall_frac) —
+    # hazard/coin/goal_dist responses are nearly flat; this gives every
+    # requested feature a direct pathwise gradient.  0 = off
+    # (reference-shaped objective); conditional (cond_dim > 0) tile
+    # models only.
+    w_cond_match: float = 0.0
     # Heading-closure prior on the track generator (track/ops.py
     # closure_penalty): squared error between |sum of curvature| and 2*pi,
     # differentiable pathwise through the tanh-bounded curvature output.

@@ -44,3 +44,40 @@ def level_features(ids: jax.Array) -> jax.Array:
     dist = (jnp.abs(sr - gr) + jnp.abs(sc - gc)).astype(jnp.float32) / (h + w)
 
     return jnp.stack([frac(WALL), frac(HAZARD), frac(COIN), dist], axis=-1)
+
+
+def soft_level_features(sample: jax.Array) -> jax.Array:
+    """Differentiable twin of :func:`level_features` on a relaxed/ST
+    one-hot sample [B, H, W, n_tiles] -> [B, 4].
+
+    Exists for the ``train.w_cond_match`` feature-matching loss: the
+    round-3 conditioning-causality eval (tools/eval_cond) measured that
+    the adversarial pairing signal alone teaches G to obey only the
+    DOMINANT feature (wall_frac r ~1.0) while hazard/coin/goal_dist are
+    nearly ignored (slopes 0.003-0.08) — the critic barely discriminates
+    the subtle features, so G gets no gradient to track them.  This twin
+    gives a direct pathwise path from each requested feature to the
+    sample.  Fractions are exact soft expectations; the start->goal
+    distance uses the probability-weighted mean position instead of
+    level_features' first-argmax (identical on the corpus shape of one
+    one-hot tile per kind; a smooth surrogate otherwise)."""
+    b, h, w, _ = sample.shape
+    area = h * w
+    sample = sample.astype(jnp.float32)
+
+    def frac(tile):
+        return sample[..., tile].sum(axis=(1, 2)) / area
+
+    rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    def soft_pos(tile):
+        p = sample[..., tile]
+        z = p.sum(axis=(1, 2)) + 1e-6
+        return ((p * rows).sum(axis=(1, 2)) / z,
+                (p * cols).sum(axis=(1, 2)) / z)
+
+    sr, sc = soft_pos(START)
+    gr, gc = soft_pos(GOAL)
+    dist = (jnp.abs(sr - gr) + jnp.abs(sc - gc)) / (h + w)
+    return jnp.stack([frac(WALL), frac(HAZARD), frac(COIN), dist], axis=-1)

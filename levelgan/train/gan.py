@@ -46,6 +46,10 @@ def make_gan_step(cfg: Config):
         raise ValueError("train.w_closure is track-family only "
                          "(heading-closure prior); tile levels have no "
                          "loop-closure invariant")
+    if t.w_cond_match and not m.cond_dim:
+        raise ValueError("train.w_cond_match requires a conditional model "
+                         "(model.cond_dim > 0): it matches the fake "
+                         "sample's features to the requested condition")
     tx_g, tx_d = make_optimizers(cfg)
     label_smooth = 0.9  # soft real targets for D (standard DCGAN stabilizer)
 
@@ -110,9 +114,17 @@ def make_gan_step(cfg: Config):
                 from levelgan.ops.presence import presence_penalty
                 pres = presence_penalty(fake2, w_spread=t.presence_spread)
                 loss = loss + t.w_presence * pres
-            return loss, (fake2, pres)
+            cmatch = None
+            if t.w_cond_match:
+                # feature-matching conditioning loss (round 3; see
+                # data/features.soft_level_features)
+                from levelgan.data.features import soft_level_features
+                cmatch = jnp.square(
+                    soft_level_features(fake2) - cond).mean()
+                loss = loss + t.w_cond_match * cmatch
+            return loss, (fake2, pres, cmatch)
 
-        (g_loss, (fake2, pres)), g_grads = jax.value_and_grad(
+        (g_loss, (fake2, pres, cmatch)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.generator)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.generator)
         params_g = optax.apply_updates(state.generator, g_updates)
@@ -128,6 +140,8 @@ def make_gan_step(cfg: Config):
         }
         if pres is not None:
             metrics["presence"] = pres
+        if cmatch is not None:
+            metrics["cond_match"] = cmatch
         return new_state, metrics
 
     return step_fn

@@ -81,6 +81,10 @@ def make_wgan_gp_step(cfg: Config):
         raise ValueError("train.w_closure is track-family only "
                          "(heading-closure prior); tile levels have no "
                          "loop-closure invariant")
+    if t.w_cond_match and not m.cond_dim:
+        raise ValueError("train.w_cond_match requires a conditional model "
+                         "(model.cond_dim > 0): it matches the fake "
+                         "sample's features to the requested condition")
     tx_g, tx_d = make_optimizers(cfg)
     if m.use_pallas:
         # stage-(c) fused critic-gradient kernel for the small critics,
@@ -128,9 +132,18 @@ def make_wgan_gp_step(cfg: Config):
                 from levelgan.ops.presence import presence_penalty
                 pres = presence_penalty(fake, w_spread=t.presence_spread)
                 loss = loss + t.w_presence * pres
-            return loss, (fake, pres)
+            cmatch = None
+            if t.w_cond_match:
+                # feature-matching conditioning loss (round 3): direct
+                # pathwise gradient from every requested feature dim to
+                # the sample (data/features.soft_level_features docstring)
+                from levelgan.data.features import soft_level_features
+                cmatch = jnp.square(
+                    soft_level_features(fake) - cond_g).mean()
+                loss = loss + t.w_cond_match * cmatch
+            return loss, (fake, pres, cmatch)
 
-        (g_loss, (fake, pres)), g_grads = jax.value_and_grad(
+        (g_loss, (fake, pres, cmatch)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.generator)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.generator)
         params_g = optax.apply_updates(state.generator, g_updates)
@@ -146,6 +159,8 @@ def make_wgan_gp_step(cfg: Config):
         }
         if pres is not None:
             metrics["presence"] = pres
+        if cmatch is not None:
+            metrics["cond_match"] = cmatch
         return new_state, metrics
 
     return step_fn

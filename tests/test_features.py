@@ -40,3 +40,34 @@ def test_features_batch_range():
     f = np.asarray(level_features(jnp.asarray(synthetic_corpus(16, 16, seed=1))))
     assert f.shape == (16, 4)
     assert (f >= 0).all() and (f <= 1).all()
+
+
+def test_soft_features_match_hard_on_onehot():
+    """On corpus-shaped levels (one START, one GOAL) the differentiable
+    twin equals level_features exactly."""
+    import jax
+    import jax.numpy as jnp
+    from levelgan.data.codec import encode
+    from levelgan.data.dataset import synthetic_corpus
+    from levelgan.data.features import level_features, soft_level_features
+
+    ids = synthetic_corpus(32, 16, seed=0)
+    hard = np.asarray(level_features(jnp.asarray(ids)))
+    soft = np.asarray(soft_level_features(encode(jnp.asarray(ids), 8)))
+    np.testing.assert_allclose(soft, hard, atol=1e-4)
+
+
+def test_soft_features_gradient_flows():
+    import jax
+    import jax.numpy as jnp
+    from levelgan.data.features import soft_level_features
+
+    logits = jax.random.normal(jax.random.key(0), (2, 8, 8, 8))
+
+    def loss(lg):
+        f = soft_level_features(jax.nn.softmax(lg, -1))
+        return jnp.square(f - 0.3).mean()
+
+    g = jax.grad(loss)(logits)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0

@@ -196,3 +196,19 @@ def test_wgan_step_at_128_scale_headroom():
     from levelgan.api import generate
     levels = generate(cfg, state.generator, n=4, seed=0)
     assert levels.shape == (4, 128, 128) and levels.dtype == np.uint8
+
+
+def test_wgan_step_cond_match():
+    """train.w_cond_match: the feature-matching loss traces, runs, logs
+    its metric, and is rejected loudly on unconditional models."""
+    cfg = preset("conditional_32").override(
+        **TINY, **{"train.n_critic": 2, "train.w_cond_match": 10.0})
+    state = create_state(cfg)
+    step = jax.jit(make_wgan_gp_step(cfg))
+    _, m = step(state, _batch(cfg, n_critic=2))
+    assert np.isfinite(float(m["g_loss"]))
+    assert np.isfinite(float(m["cond_match"])) and float(m["cond_match"]) >= 0
+
+    with pytest.raises(ValueError, match="cond_dim"):
+        make_wgan_gp_step(preset("wgan_gp_32").override(
+            **TINY, **{"train.w_cond_match": 1.0}))
