@@ -104,7 +104,9 @@ def make_gan_step(cfg: Config):
         z2 = jax.random.normal(k_z2, (bsz, m.latent_dim), jnp.float32)
 
         def g_loss_fn(params_g):
-            fake2 = g_sample(params_g, k_s2, z2, cond, state.step)
+            logits2 = gen.apply({"params": params_g}, z2, cond)
+            fake2 = sample_head(k_s2, logits2, m.head,
+                                current_tau(cfg, state.step))
             d_out = critic.apply({"params": params_d}, fake2, cond)
             loss = optax.sigmoid_binary_cross_entropy(
                 d_out, jnp.ones_like(d_out)).mean()
@@ -116,11 +118,13 @@ def make_gan_step(cfg: Config):
                 loss = loss + t.w_presence * pres
             cmatch = None
             if t.w_cond_match:
-                # feature-matching conditioning loss (round 3; see
-                # data/features.soft_level_features)
+                # feature-matching conditioning loss on the EXPECTED
+                # features (softmax marginal — see train/wgan_gp.py for
+                # the measured ST-gradient failure this avoids)
                 from levelgan.data.features import soft_level_features
+                probs2 = jax.nn.softmax(logits2, axis=-1)
                 cmatch = jnp.square(
-                    soft_level_features(fake2) - cond).mean()
+                    soft_level_features(probs2) - cond).mean()
                 loss = loss + t.w_cond_match * cmatch
             return loss, (fake2, pres, cmatch)
 

@@ -123,7 +123,9 @@ def make_wgan_gp_step(cfg: Config):
         z = jax.random.normal(k_zg, (bsz, m.latent_dim), jnp.float32)
 
         def g_loss_fn(pg):
-            fake = g_sample(pg, k_sg, z, cond_g, state.step)
+            logits = gen.apply({"params": pg}, z, cond_g)
+            fake = sample_head(k_sg, logits, m.head,
+                               current_tau(cfg, state.step))
             loss = -d_apply(params_d, fake, cond_g).mean()
             pres = None
             if t.w_presence:
@@ -134,12 +136,19 @@ def make_wgan_gp_step(cfg: Config):
                 loss = loss + t.w_presence * pres
             cmatch = None
             if t.w_cond_match:
-                # feature-matching conditioning loss (round 3): direct
-                # pathwise gradient from every requested feature dim to
-                # the sample (data/features.soft_level_features docstring)
+                # feature-matching conditioning loss (round 3): match the
+                # EXPECTED features of the sampling model — for both heads
+                # the per-cell tile marginal is softmax(logits) (gumbel-max
+                # property; tau only shapes the relaxation gradient), so
+                # soft features of the softmax are the exact differentiable
+                # expectation.  Matching the hard ST sample instead was
+                # measured to DESTROY the response it should create (noisy
+                # ST gradients at tau_end: artifacts/eval_cond_32_cm_st.json
+                # wall_frac r 0.9999 -> 0.36) — do not regress this.
                 from levelgan.data.features import soft_level_features
+                probs = jax.nn.softmax(logits, axis=-1)
                 cmatch = jnp.square(
-                    soft_level_features(fake) - cond_g).mean()
+                    soft_level_features(probs) - cond_g).mean()
                 loss = loss + t.w_cond_match * cmatch
             return loss, (fake, pres, cmatch)
 
