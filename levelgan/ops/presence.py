@@ -102,12 +102,33 @@ def presence_penalty(fake: jax.Array, tiles=STRUCTURAL_TILES,
     conc_deficit = jax.nn.relu(1.0 - chans.max(axis=(1, 2)))   # [B, |t|]
     pen = (jnp.square(count_deficit) + jnp.square(conc_deficit)).mean()
     if w_spread:
-        b, hw = chans.shape[0], chans.shape[1] * chans.shape[2]
-        # each level's placement distribution over cells (levels without
-        # the tile contribute ~nothing: their q sums to ~0, not uniform)
-        q = chans / (chans.sum(axis=(1, 2), keepdims=True) + 1e-6)
-        marginal = q.mean(axis=0)                              # [H, W, |t|]
-        simpson = jnp.square(marginal).sum(axis=(0, 1))        # [|t|]
+        b = chans.shape[0]
+        hw = chans.shape[1] * chans.shape[2]
+        flat = chans.reshape(b, hw, -1)                        # [B, HW, |t|]
+        # STRAIGHT-THROUGH placement marginal.  The soft marginal alone is
+        # decode-invisible — measured (round-3 A/B): with the relaxed
+        # softmax head every level can put its argmax-WINNING (but
+        # fractional) mass on the same cell while spreading the rest, the
+        # soft marginal looks diverse, the hinge never engages, and the
+        # decoded placements still collapse onto ~9 cells at spread
+        # weights 1 and 10 alike (quality_wgan_presence_spread*
+        # artifacts).  Power/temperature sharpening is no fix: the
+        # renormalized sharp distribution saturates and its gradient
+        # vanishes.  So: FORWARD uses the hard argmax-placement marginal
+        # (exactly what the decoder emits), BACKWARD routes through the
+        # soft normalized placement — the same straight-through pattern as
+        # the Gumbel head.  Winners are commitment-weighted (stop-grad
+        # max) so levels that don't carry the tile at all contribute
+        # ~nothing instead of a spurious argmax cell.
+        wt = jax.lax.stop_gradient(flat.max(axis=1))           # [B, |t|]
+        win = jax.nn.one_hot(jnp.argmax(flat, axis=1), hw,
+                             axis=1, dtype=jnp.float32)        # [B, HW, |t|]
+        wsum = wt.sum(axis=0) + 1e-6
+        m_hard = (win * wt[:, None, :]).sum(axis=0) / wsum     # [HW, |t|]
+        q = flat / (flat.sum(axis=1, keepdims=True) + 1e-6)
+        m_soft = (q * wt[:, None, :]).sum(axis=0) / wsum
+        marginal = m_hard + m_soft - jax.lax.stop_gradient(m_soft)
+        simpson = jnp.square(marginal).sum(axis=0)             # [|t|]
         # inverse Simpson = effective number of cells used; a batch of B
         # one-hot placements can use at most min(B, HW) distinct cells,
         # so normalize by that: uniform-random placement -> eff ~ 1

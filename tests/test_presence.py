@@ -190,3 +190,36 @@ def test_spread_gradient_diversifies():
     # increases with more mass there) i.e. gradient-descent reduces it
     assert g_start[:, 1, 1].mean() > 0.0
     assert g_start[:, 1, 1].mean() > g_start[:, 2, 2].mean()
+
+
+def test_spread_sees_soft_argmax_collapse():
+    """Round-3 measured failure: with the relaxed softmax head, every
+    level can put its argmax-winning (but fractional) mass on the SAME
+    cell while spreading the rest; the soft marginal looks diverse, the
+    decode collapses.  The sharpened (chans^8) spread distribution must
+    see through it."""
+    b, h = 64, 8
+    probs = np.full((b, h, h, 8), 0.0, np.float32)
+    # every level: winning 0.3 at (1,1), 0.011 everywhere else (sums ~1.0
+    # over the channel -> count hinge quiet); argmax decode -> same cell
+    probs[..., START] = 0.011
+    probs[:, 1, 1, START] = 0.3
+    probs[..., GOAL] = 0.011
+    probs[:, 6, 6, GOAL] = 0.3
+    x = jnp.asarray(probs)
+    spread_only = float(presence_penalty(x, w_spread=1.0)
+                        - presence_penalty(x, w_spread=0.0))
+    assert spread_only > 1e-3  # sharpened marginal sees the collapse
+    # same mass but winners spread across the batch -> no spread penalty
+    probs2 = np.full((b, h, h, 8), 0.0, np.float32)
+    probs2[..., START] = 0.011
+    probs2[..., GOAL] = 0.011
+    rng = np.random.default_rng(0)
+    for i in range(b):
+        r, c = rng.integers(0, h, 2)
+        probs2[i, r, c, START] = 0.3
+        probs2[i, (r + 4) % h, c, GOAL] = 0.3
+    x2 = jnp.asarray(probs2)
+    spread2 = float(presence_penalty(x2, w_spread=1.0)
+                    - presence_penalty(x2, w_spread=0.0))
+    assert spread2 < spread_only / 10
