@@ -123,8 +123,15 @@ def make_gan_step(cfg: Config):
                 # the measured ST-gradient failure this avoids)
                 from levelgan.data.features import soft_level_features
                 probs2 = jax.nn.softmax(logits2, axis=-1)
+                # standardize per dim by the batch-condition spread:
+                # hazard/coin corpus ranges are ~2% of the grid, so a
+                # raw-scale MSE is ~1e-4 — invisible next to the O(1)
+                # adversarial term (measured: those dims stayed flat at
+                # w=10, artifacts/eval_cond_32_cm2.json); unit-variance
+                # residuals give every dim comparable gradient.
+                scale = jax.lax.stop_gradient(cond.std(axis=0) + 1e-3)
                 cmatch = jnp.square(
-                    soft_level_features(probs2) - cond).mean()
+                    (soft_level_features(probs2) - cond) / scale).mean()
                 loss = loss + t.w_cond_match * cmatch
             return loss, (fake2, pres, cmatch)
 

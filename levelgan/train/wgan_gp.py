@@ -147,8 +147,15 @@ def make_wgan_gp_step(cfg: Config):
                 # wall_frac r 0.9999 -> 0.36) — do not regress this.
                 from levelgan.data.features import soft_level_features
                 probs = jax.nn.softmax(logits, axis=-1)
+                # standardize per dim by the batch-condition spread:
+                # hazard/coin corpus ranges are ~2% of the grid, so a
+                # raw-scale MSE is ~1e-4 — invisible next to the O(1)
+                # adversarial term (measured: those dims stayed flat at
+                # w=10, artifacts/eval_cond_32_cm2.json); unit-variance
+                # residuals give every dim comparable gradient.
+                scale = jax.lax.stop_gradient(cond_g.std(axis=0) + 1e-3)
                 cmatch = jnp.square(
-                    soft_level_features(probs) - cond_g).mean()
+                    (soft_level_features(probs) - cond_g) / scale).mean()
                 loss = loss + t.w_cond_match * cmatch
             return loss, (fake, pres, cmatch)
 
