@@ -35,7 +35,8 @@ from levelgan.train.wgan_gp import make_wgan_gp_step
 
 @functools.lru_cache(maxsize=32)
 def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
-                     repair: bool | None = None):
+                     repair: bool | None = None,
+                     repair_placement: str = "confidence"):
     """jit-compiled batched sampler: (params_g, key, cond) -> uint8 ids.
 
     Export path (SURVEY.md §3.2): z -> G -> argmax decode, all on-device;
@@ -44,10 +45,16 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
 
     ``repair`` — family-specific exact output repair; ``None`` picks the
     family default:
-      - tile family (default OFF): place missing START/GOAL tiles at the
-        generator's most-confident positions before packing (ops/repair.py).
-        Off by default so the exported marginals stay loss-identical to
-        the reference-shaped model the statistical-identity band gates.
+      - tile family (default OFF): place missing START/GOAL tiles before
+        packing (ops/repair.py).  ``repair_placement``: 'confidence'
+        (default) places at the generator's most-confident valid cell —
+        faithful but measured to concentrate placement on the model's few
+        favored cells; 'uniform' samples the cell uniformly over the
+        valid mask, which IS the corpus's placement law, so the repaired
+        export matches the per-position gate by construction (BASELINE.md
+        round 3).  Repair defaults off so the exported marginals stay
+        loss-identical to the reference-shaped model the
+        statistical-identity band gates.
       - track family (default ON): exact heading-closure projection
         (track/ops.closure_project) — closure_ok 0.29-0.43 -> 1.0 at
         corpus-level diversity for one cumsum (BASELINE.md "Track-family
@@ -101,7 +108,7 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
     def gen_fn(params_g, key, cond=None):
         from levelgan.models import sample_head
 
-        k_z, k_s = jax.random.split(key)
+        k_z, k_s, k_r = jax.random.split(key, 3)
         z = jax.random.normal(k_z, (batch_size, cfg.model.latent_dim),
                               jnp.float32)
         logits = gen.apply({"params": params_g}, z, cond)
@@ -109,7 +116,8 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
                                  tau=cfg.model.tau_end))
         if repair:
             from levelgan.ops.repair import ensure_start_goal
-            ids = ensure_start_goal(ids, logits)
+            ids = ensure_start_goal(ids, logits, key=k_r,
+                                    placement=repair_placement)
         if pack:
             # Bit-plane pack: 8 consecutive tiles -> `bits` bytes; byte j
             # holds bit j of each of the 8 tiles (tile k in bit position k).
@@ -207,7 +215,8 @@ def unpack_levels(packed: np.ndarray, level_size: int,
 
 @functools.lru_cache(maxsize=32)
 def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
-                          pack: bool, repair: bool | None = None):
+                          pack: bool, repair: bool | None = None,
+                          repair_placement: str = "confidence"):
     """ONE jit program generating ``n_batches`` batches via lax.fori_loop.
 
     Per-dispatch overhead dominates the export path (especially through the
@@ -215,7 +224,8 @@ def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
     transfer for the whole block.  Measured on gumbel_64: ~8x over
     per-batch dispatch.
     """
-    gen_fn = make_generate_fn(cfg, batch_size, pack=pack, repair=repair)
+    gen_fn = make_generate_fn(cfg, batch_size, pack=pack, repair=repair,
+                              repair_placement=repair_placement)
     m = cfg.model
     per = packed_bytes(m) if pack else m.level_size * m.level_size
 
@@ -236,8 +246,8 @@ def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
 
 def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
              batch_size: int = 1024, cond=None,
-             pack: bool | None = None,
-             repair: bool | None = None) -> np.ndarray:
+             pack: bool | None = None, repair: bool | None = None,
+             repair_placement: str = "confidence") -> np.ndarray:
     """Generate ``n`` levels.
 
     Tile family: host uint8 [n, H, W]; ``pack=None`` auto-enables on-device
@@ -297,7 +307,8 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
         # the full block would compute and transfer up to
         # (nb_per_dispatch-1)*batch_size levels that get thrown away.
         nb = min(nb_per_dispatch, n_batches_total - done)
-        many = make_generate_many_fn(cfg, batch_size, nb, pack, repair)
+        many = make_generate_many_fn(cfg, batch_size, nb, pack, repair,
+                                     repair_placement)
         out = many(params_g, sub, cond)
         # Kick off the D2H copy as soon as the block's compute retires so
         # transfers overlap later blocks' compute (double-buffered pulls;

@@ -110,6 +110,12 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cond", default=None,
                     help="comma-separated feature vector (conditional models)")
+    ap.add_argument("--repair-placement", default="confidence",
+                    choices=("confidence", "uniform"),
+                    help="tile-family repair cell choice: the generator's "
+                         "most-confident valid cell, or a uniform sample "
+                         "over the valid mask (corpus placement law — "
+                         "matches the positional gate by construction)")
     ap.add_argument("--repair", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="family-specific exact output repair. Tile family "
@@ -135,7 +141,8 @@ def main(argv=None):
     t0 = time.perf_counter()
     from levelgan.train.state import eval_generator_params
     levels = generate(cfg, eval_generator_params(state), args.n, seed=args.seed,
-                      batch_size=args.batch, cond=cond, repair=args.repair)
+                      batch_size=args.batch, cond=cond, repair=args.repair,
+                      repair_placement=args.repair_placement)
     dt = time.perf_counter() - t0
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)

@@ -48,19 +48,44 @@ def _place_missing(flat_ids: jax.Array, conf_t: jax.Array, tile: int,
     return jnp.where((need[:, None] & at), jnp.uint8(tile), flat_ids)
 
 
-def ensure_start_goal(ids: jax.Array, logits: jax.Array) -> jax.Array:
+def ensure_start_goal(ids: jax.Array, logits: jax.Array, key=None,
+                      placement: str = "confidence") -> jax.Array:
     """uint8 ids [B, H, W] + generator logits [B, H, W, T] -> repaired ids.
 
     Levels already containing a START (resp. GOAL) are untouched.  A GOAL
     placement lands inside START's reachable component (falling back to
     any non-WALL, non-START cell when that component is just the START
-    cell itself), and never on a START cell."""
+    cell itself), and never on a START cell.
+
+    ``placement``:
+      - 'confidence' (default): the generator's most-confident valid cell
+        — faithful to the model, but measured to concentrate on the few
+        cells the model favors (structural per-position chi2/dof ~1200+,
+        BASELINE.md round 3).
+      - 'uniform' (requires ``key``): sample the cell uniformly over the
+        valid mask — exactly the corpus's own placement law (synthetic
+        corpus places structural tiles uniformly at random), so the
+        repaired export matches the positional gate by construction.
+        Implemented as Gumbel-noise argmax so it stays one masked argmax
+        inside the jit export program.
+    """
+    if placement not in ("confidence", "uniform"):
+        raise ValueError(f"placement must be 'confidence'|'uniform', "
+                         f"got {placement!r}")
+    if placement == "uniform" and key is None:
+        raise ValueError("placement='uniform' needs a PRNG key")
     b = ids.shape[0]
     flat = ids.reshape(b, -1)
     conf = jax.nn.log_softmax(logits, axis=-1).reshape(b, -1, logits.shape[-1])
+    if placement == "uniform":
+        k_s, k_g = jax.random.split(key)
+        score_start = jax.random.gumbel(k_s, flat.shape, jnp.float32)
+        score_goal = jax.random.gumbel(k_g, flat.shape, jnp.float32)
+    else:
+        score_start, score_goal = conf[..., START], conf[..., GOAL]
 
     # START: most-confident passable cell (walls would strand the agent).
-    flat = _place_missing(flat, conf[..., START], START, flat == WALL)
+    flat = _place_missing(flat, score_start, START, flat == WALL)
 
     # GOAL: most-confident cell reachable from START => solvable by
     # construction when repair places it.  reachable() re-derives the start
@@ -71,5 +96,5 @@ def ensure_start_goal(ids: jax.Array, logits: jax.Array) -> jax.Array:
     has_room = connected.any(axis=-1, keepdims=True)
     fallback = (flat != WALL) & ~is_start
     placeable = jnp.where(has_room, connected, fallback)
-    flat = _place_missing(flat, conf[..., GOAL], GOAL, ~placeable)
+    flat = _place_missing(flat, score_goal, GOAL, ~placeable)
     return flat.reshape(ids.shape)

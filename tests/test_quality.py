@@ -301,3 +301,39 @@ def test_scripted_rollout_deterministic():
     a = track_quality_report(tracks)
     b = track_quality_report(tracks)
     assert a == b
+
+
+def test_repair_uniform_placement_is_diverse_and_solvable():
+    """placement='uniform' samples repair cells from the corpus's own
+    placement law: positions spread over the grid (unlike the measured
+    confidence-placement collapse) and GOAL still lands reachable."""
+    import jax
+    import jax.numpy as jnp
+    from levelgan.config import GOAL, START
+    from levelgan.env.solver import solvable
+    from levelgan.ops.repair import ensure_start_goal
+
+    b, h = 256, 16
+    ids = np.zeros((b, h, h), np.uint8)              # all EMPTY, no S/G
+    logits = jnp.zeros((b, h, h, 8), jnp.float32)    # uninformative model
+    out = np.asarray(ensure_start_goal(
+        jnp.asarray(ids), logits, key=jax.random.key(0),
+        placement="uniform"))
+    assert (out == START).any(axis=(1, 2)).all()
+    assert (out == GOAL).any(axis=(1, 2)).all()
+    sol = np.asarray(jax.jit(solvable)(jnp.asarray(out)))
+    assert sol.mean() > 0.99                          # reachable placement
+    # placements cover a large fraction of the grid (uniform law), not
+    # the handful of cells confidence placement concentrates on
+    for tile in (START, GOAL):
+        distinct = int(((out == tile).sum(0) > 0).sum())
+        assert distinct > h * h // 2, f"tile {tile}: {distinct} cells"
+    # confidence placement with the same uninformative logits: argmax
+    # degenerates to one cell -> the old behavior the option replaces
+    conf = np.asarray(ensure_start_goal(jnp.asarray(ids), logits))
+    assert int(((conf == START).sum(0) > 0).sum()) == 1
+
+    with pytest.raises(ValueError, match="needs a PRNG key"):
+        ensure_start_goal(jnp.asarray(ids), logits, placement="uniform")
+    with pytest.raises(ValueError, match="placement"):
+        ensure_start_goal(jnp.asarray(ids), logits, placement="bogus")

@@ -31,6 +31,8 @@ def main(argv=None):
     ap.add_argument("--repair", action="store_true",
                     help="gate the repaired export path (tile: START/GOAL "
                          "placement; track: heading-closure projection)")
+    ap.add_argument("--repair-placement", default="confidence",
+                    choices=("confidence", "uniform"))
     args = ap.parse_args(argv)
 
     from tools.bench_all import _enable_compile_cache
@@ -66,7 +68,8 @@ def main(argv=None):
 
     n = max(args.n, -(-100_000 // cfg.model.level_size ** 2))  # >=100k tiles
     levels = generate(cfg, eval_params, n, seed=args.seed, cond=cond,
-                      repair=args.repair)
+                      repair=args.repair,
+                      repair_placement=args.repair_placement)
     gate = kl_gate(levels, ds.tile_histogram(cfg.model.n_tiles),
                    cfg.model.n_tiles, args.kl_threshold)
     from levelgan.config import GOAL, START
