@@ -57,10 +57,15 @@ def soft_level_features(sample: jax.Array) -> jax.Array:
     nearly ignored (slopes 0.003-0.08) — the critic barely discriminates
     the subtle features, so G gets no gradient to track them.  This twin
     gives a direct pathwise path from each requested feature to the
-    sample.  Fractions are exact soft expectations; the start->goal
-    distance uses the probability-weighted mean position instead of
-    level_features' first-argmax (identical on the corpus shape of one
-    one-hot tile per kind; a smooth surrogate otherwise)."""
+    sample.  Fractions are exact soft expectations.  The start->goal
+    distance uses STRAIGHT-THROUGH positions: hard argmax cell forward
+    (what the decode actually realizes), probability-weighted mean
+    position backward.  The all-soft expectation form was measured to
+    mis-train goal_dist (eval_cond_32_cm3.json: mae 0.57 — a diffuse
+    channel's mean position sits near the grid center, so matching the
+    soft distance inflates channel spread instead of moving the sampled
+    cells).  On corpus-shaped one-hot inputs the ST form equals
+    level_features exactly."""
     b, h, w, _ = sample.shape
     area = h * w
     sample = sample.astype(jnp.float32)
@@ -71,13 +76,18 @@ def soft_level_features(sample: jax.Array) -> jax.Array:
     rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
 
-    def soft_pos(tile):
+    def st_pos(tile):
         p = sample[..., tile]
         z = p.sum(axis=(1, 2)) + 1e-6
-        return ((p * rows).sum(axis=(1, 2)) / z,
-                (p * cols).sum(axis=(1, 2)) / z)
+        soft_r = (p * rows).sum(axis=(1, 2)) / z
+        soft_c = (p * cols).sum(axis=(1, 2)) / z
+        idx = jnp.argmax(p.reshape(b, -1), axis=-1)
+        hard_r = (idx // w).astype(jnp.float32)
+        hard_c = (idx % w).astype(jnp.float32)
+        return (hard_r + soft_r - jax.lax.stop_gradient(soft_r),
+                hard_c + soft_c - jax.lax.stop_gradient(soft_c))
 
-    sr, sc = soft_pos(START)
-    gr, gc = soft_pos(GOAL)
+    sr, sc = st_pos(START)
+    gr, gc = st_pos(GOAL)
     dist = (jnp.abs(sr - gr) + jnp.abs(sc - gc)) / (h + w)
     return jnp.stack([frac(WALL), frac(HAZARD), frac(COIN), dist], axis=-1)
