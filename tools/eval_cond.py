@@ -99,6 +99,7 @@ def main(argv=None):
               mean_feat.tolist(), "dims": {}}
 
     # ---- 1. response sweep per condition dim -------------------------------
+    from levelgan.config import GOAL, START
     for d, name in enumerate(FEATURE_NAMES):
         lo, hi = np.quantile(feats[:, d], [0.10, 0.90])
         if hi <= lo:  # degenerate feature (constant corpus) — report, skip
@@ -106,14 +107,32 @@ def main(argv=None):
                                     "pearson_r": None}
             continue
         requested = np.linspace(lo, hi, args.points)
-        realized_means = []
+        realized_means, valid_fracs = [], []
         for j, v in enumerate(requested):
             cond = mean_feat.copy()
             cond[d] = v
-            _, f = realized(cond, seed=args.seed + 1000 * d + j)
-            realized_means.append(float(f[:, d].mean()))
-        report["dims"][name] = response_stats(requested,
-                                              np.asarray(realized_means))
+            levels, f = realized(cond, seed=args.seed + 1000 * d + j)
+            if name == "goal_dist":
+                # distance is only defined when both endpoints exist; the
+                # extractor falls back to cell (0,0) for absent tiles,
+                # which would score a tile-dropping generator on garbage
+                valid = ((levels == START).any(axis=(1, 2))
+                         & (levels == GOAL).any(axis=(1, 2)))
+                valid_fracs.append(float(valid.mean()))
+                f = f[valid] if valid.any() else f[:0]
+            realized_means.append(float(f[:, d].mean()) if len(f)
+                                  else float("nan"))
+        if any(np.isnan(realized_means)):
+            report["dims"][name] = {
+                "skipped": "no levels carry both START and GOAL at some "
+                           "sweep points — dim unmeasurable (train with "
+                           "w_presence to make it exist)",
+                "valid_frac": valid_fracs, "pearson_r": None}
+            continue
+        row = response_stats(requested, np.asarray(realized_means))
+        if valid_fracs:
+            row["valid_frac"] = valid_fracs
+        report["dims"][name] = row
 
     # ---- 2. bucketed per-position chi-square -------------------------------
     buckets_out = {}
@@ -137,7 +156,13 @@ def main(argv=None):
     rs = [v["pearson_r"] for v in report["dims"].values()
           if v.get("pearson_r") is not None]
     report["min_pearson_r"] = min(rs) if rs else None
-    report["passed"] = bool(rs) and report["min_pearson_r"] >= args.threshold
+    # an UNMEASURABLE dim (generator never emits the tiles the feature
+    # needs) is a causality failure, not an exemption; only corpus-side
+    # degeneracy is excusable
+    unmeasurable = any("unmeasurable" in str(v.get("skipped", ""))
+                       for v in report["dims"].values())
+    report["passed"] = (bool(rs) and not unmeasurable
+                        and report["min_pearson_r"] >= args.threshold)
 
     text = json.dumps(report, indent=2)
     print(text)
