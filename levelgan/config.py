@@ -50,6 +50,15 @@ class ModelConfig:
     # head — measured step-time numbers for both in BASELINE.md.
     cond_mode: str = "concat"
     critic_base_channels: int = 64
+    # Minibatch-stddev feature in the critic (ProGAN, Karras et al. 2018):
+    # append the batch-wide feature stddev as one extra channel at the
+    # trunk end, making CROSS-SAMPLE collapse visible to the adversarial
+    # game — the structural lever for the measured placement collapse no
+    # per-sample critic can see (BASELINE.md round 3).  Off by default
+    # (reference-shaped critic).  Note: couples per-sample scores through
+    # the batch, so the WGAN-GP penalty's per-sample gradient norms gain
+    # cross-terms (standard practice accepts this; R1/BCE unaffected).
+    critic_mbstd: bool = False
     dtype: str = "bfloat16"       # activation dtype on TPU; params stay f32
     use_pallas: bool = False      # swap XLA fallback blocks for Pallas kernels
     # K2 gradient-penalty implementation when use_pallas=True:

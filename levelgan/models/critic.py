@@ -64,6 +64,18 @@ class Critic(nn.Module):
             x = leaky_relu(x, cfg.leaky_slope)
 
         phi = x  # final trunk features [B, 4, 4, chans[-1]]
+        if cfg.critic_mbstd:
+            # ProGAN minibatch stddev: one scalar (mean over positions and
+            # features of the across-batch stddev) tiled as an extra
+            # channel.  Gives the critic a view of BATCH statistics, so
+            # cross-sample collapse (e.g. every level placing START on the
+            # same cell — measured, BASELINE.md round 3) becomes a feature
+            # the real/fake boundary can use.  f32 for the variance; cast
+            # back to the trunk dtype.
+            y = x.astype(jnp.float32)
+            mb = jnp.sqrt(y.var(axis=0) + 1e-8).mean()
+            x = jnp.concatenate(
+                [x, jnp.full(x.shape[:3] + (1,), mb, dtype)], axis=-1)
         x = x.reshape(x.shape[0], -1)
         score = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
                          kernel_init=nn.initializers.normal(0.02),

@@ -109,3 +109,30 @@ def test_generator_grads_flow():
     grads = jax.grad(loss)(pg)
     norms = [float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads)]
     assert all(np.isfinite(norms)) and sum(norms) > 0
+
+
+def test_critic_mbstd():
+    """model.critic_mbstd appends the batch-stddev channel: scores change,
+    and a batch of identical samples is distinguishable from a diverse one
+    through the extra feature (cross-sample statistics now visible)."""
+    import jax
+    import jax.numpy as jnp
+    from levelgan.config import preset
+    from levelgan.models import Critic
+
+    cfg = preset("wgan_gp_32").override(**{
+        "model.critic_base_channels": 16, "model.group_size": 8,
+        "model.critic_mbstd": True}).model
+    critic = Critic(cfg)
+    key = jax.random.key(0)
+    x = jax.random.uniform(key, (8, 32, 32, 8))
+    params = critic.init(key, x)["params"]
+    diverse = critic.apply({"params": params}, x)
+    collapsed = critic.apply({"params": params},
+                             jnp.broadcast_to(x[:1], x.shape))
+    assert np.isfinite(np.asarray(diverse)).all()
+    # identical inputs => identical per-sample scores, but the mbstd
+    # channel differs between the two BATCHES, so scores can't coincide
+    # with the diverse batch's score for the same leading sample
+    assert float(jnp.abs(collapsed - collapsed[0]).max()) < 1e-5
+    assert float(jnp.abs(diverse[0] - collapsed[0])) > 1e-6
