@@ -97,10 +97,6 @@ def make_wgan_gp_step(cfg: Config):
     def d_apply(params_d, x, cond):
         return critic.apply({"params": params_d}, x, cond)
 
-    def g_sample(params_g, key, z, cond, step):
-        logits = gen.apply({"params": params_g}, z, cond)
-        return sample_head(key, logits, m.head, current_tau(cfg, step))
-
     critic_scan = make_critic_scan(cfg, gen, critic, tx_d, gp_impl)
 
     def step_fn(state: GANState, batch_ids: jax.Array):
