@@ -116,8 +116,16 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
                                  tau=cfg.model.tau_end))
         if repair:
             from levelgan.ops.repair import ensure_start_goal
+            # uniform repair on a conditional model honors the requested
+            # goal_dist (cond dim 3, data/features.py) by construction —
+            # the export-level guarantee for the condition dim training
+            # cannot make causal (ops/repair.py docstring)
+            target = (cond[:, 3] if repair_placement == "uniform"
+                      and cond is not None and cfg.model.cond_dim >= 4
+                      else None)
             ids = ensure_start_goal(ids, logits, key=k_r,
-                                    placement=repair_placement)
+                                    placement=repair_placement,
+                                    target_dist=target)
         if pack:
             # Bit-plane pack: 8 consecutive tiles -> `bits` bytes; byte j
             # holds bit j of each of the 8 tiles (tile k in bit position k).

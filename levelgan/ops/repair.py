@@ -49,7 +49,8 @@ def _place_missing(flat_ids: jax.Array, conf_t: jax.Array, tile: int,
 
 
 def ensure_start_goal(ids: jax.Array, logits: jax.Array, key=None,
-                      placement: str = "confidence") -> jax.Array:
+                      placement: str = "confidence",
+                      target_dist=None) -> jax.Array:
     """uint8 ids [B, H, W] + generator logits [B, H, W, T] -> repaired ids.
 
     Levels already containing a START (resp. GOAL) are untouched.  A GOAL
@@ -68,6 +69,15 @@ def ensure_start_goal(ids: jax.Array, logits: jax.Array, key=None,
         repaired export matches the positional gate by construction.
         Implemented as Gumbel-noise argmax so it stays one masked argmax
         inside the jit export program.
+
+    ``target_dist`` (uniform placement only): per-level requested
+    normalized START->GOAL L1 distance [B] (the conditional family's
+    goal_dist feature, data/features.py).  GOAL sampling is biased hard
+    toward reachable cells at that distance (score -= 32*|realized -
+    requested|), so the repaired export HONORS the requested distance up
+    to reachability — the export-level guarantee for the one condition
+    dim no training objective managed to make causal (BASELINE.md
+    round 3: goal_dist r 0.19 in-training).
     """
     if placement not in ("confidence", "uniform"):
         raise ValueError(f"placement must be 'confidence'|'uniform', "
@@ -77,6 +87,8 @@ def ensure_start_goal(ids: jax.Array, logits: jax.Array, key=None,
     b = ids.shape[0]
     flat = ids.reshape(b, -1)
     conf = jax.nn.log_softmax(logits, axis=-1).reshape(b, -1, logits.shape[-1])
+    if target_dist is not None and placement != "uniform":
+        raise ValueError("target_dist needs placement='uniform'")
     if placement == "uniform":
         k_s, k_g = jax.random.split(key)
         score_start = jax.random.gumbel(k_s, flat.shape, jnp.float32)
@@ -86,6 +98,19 @@ def ensure_start_goal(ids: jax.Array, logits: jax.Array, key=None,
 
     # START: most-confident passable cell (walls would strand the agent).
     flat = _place_missing(flat, score_start, START, flat == WALL)
+
+    if target_dist is not None:
+        # distance of every cell from the (possibly just-placed) START,
+        # normalized like data/features.level_features
+        h, w = ids.shape[1], ids.shape[2]
+        from levelgan.env.sim import start_positions
+        sp = start_positions(flat.reshape(ids.shape))          # [B, 2]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+        d = (jnp.abs(rows[None] - sp[:, :1])
+             + jnp.abs(cols[None] - sp[:, 1:])).astype(jnp.float32) / (h + w)
+        score_goal = score_goal - 32.0 * jnp.abs(
+            d - jnp.asarray(target_dist, jnp.float32)[:, None])
 
     # GOAL: most-confident cell reachable from START => solvable by
     # construction when repair places it.  reachable() re-derives the start

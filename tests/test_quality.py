@@ -337,3 +337,31 @@ def test_repair_uniform_placement_is_diverse_and_solvable():
         ensure_start_goal(jnp.asarray(ids), logits, placement="uniform")
     with pytest.raises(ValueError, match="placement"):
         ensure_start_goal(jnp.asarray(ids), logits, placement="bogus")
+
+
+def test_repair_target_dist_honored():
+    """uniform repair with target_dist places GOAL at (approximately) the
+    requested normalized L1 distance from START — the export-level
+    goal_dist guarantee for conditional models."""
+    import jax
+    import jax.numpy as jnp
+    from levelgan.config import GOAL, START
+    from levelgan.ops.repair import ensure_start_goal
+
+    b, h = 128, 16
+    ids = np.zeros((b, h, h), np.uint8)
+    logits = jnp.zeros((b, h, h, 8), jnp.float32)
+    for req in (0.2, 0.5):
+        out = np.asarray(ensure_start_goal(
+            jnp.asarray(ids), logits, key=jax.random.key(1),
+            placement="uniform", target_dist=np.full(b, req, np.float32)))
+        sp = np.argwhere(out == START)
+        gp_ = np.argwhere(out == GOAL)
+        assert len(sp) == b and len(gp_) == b
+        d = (np.abs(sp[:, 1] - gp_[:, 1])
+             + np.abs(sp[:, 2] - gp_[:, 2])) / (2 * h)
+        assert abs(d.mean() - req) < 0.05, (req, d.mean())
+
+    with pytest.raises(ValueError, match="target_dist"):
+        ensure_start_goal(jnp.asarray(ids), logits,
+                          target_dist=np.full(b, 0.3, np.float32))

@@ -63,6 +63,13 @@ def main(argv=None):
     ap.add_argument("--threshold", type=float, default=0.5,
                     help="min per-dim requested-vs-realized Pearson r")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--repair", action="store_true",
+                    help="evaluate the repaired export path; with "
+                         "--repair-placement uniform on a conditional "
+                         "model, repair honors the requested goal_dist "
+                         "by construction (ops/repair.py)")
+    ap.add_argument("--repair-placement", default="confidence",
+                    choices=("confidence", "uniform"))
     ap.add_argument("--out", default="", help="optional JSON output path")
     args = ap.parse_args(argv)
 
@@ -91,10 +98,14 @@ def main(argv=None):
 
     def realized(cond_vec, seed):
         levels = generate(cfg, params, args.n, seed=seed,
-                          cond=np.asarray(cond_vec, np.float32))
+                          cond=np.asarray(cond_vec, np.float32),
+                          repair=args.repair,
+                          repair_placement=args.repair_placement)
         return levels, corpus_features(levels)
 
     report = {"preset": cfg.preset, "n_per_point": args.n,
+              "repair": bool(args.repair),
+              "repair_placement": args.repair_placement,
               "threshold": args.threshold, "corpus_feature_mean":
               mean_feat.tolist(), "dims": {}}
 
