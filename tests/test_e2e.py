@@ -238,6 +238,10 @@ def test_compile_cache_persists_and_warms(tmp_path):
     cfg = preset("toy_dcgan_16").override(
         **TINY, **{"train.steps": 2, "io.out_dir": str(tmp_path / "run1"),
                    "io.compile_cache": str(cache)})
+    # the tiny test programs can compile in <1s (the enable() default
+    # persistence threshold), which would leave the dir empty — persist
+    # everything for this test
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     train(cfg, echo=False)
     entries = list(cache.rglob("*")) if cache.exists() else []
     assert entries, "compile cache dir was not populated"

@@ -57,7 +57,8 @@ def test_conditional_projection_mode():
     projection params and to x, and the trunk param tree is identical to
     the unconditional critic's plus {cond_embed, cond_proj}."""
     m = ModelConfig(level_size=16, cond_dim=4, cond_mode="projection",
-                    base_channels=16, group_size=8, latent_dim=8)
+                    base_channels=16, critic_base_channels=16,
+                    group_size=8, latent_dim=8)
     gen, critic, pg, pd, z, x, cond = _init(m)
     # non-zero input: the projection term is <W_p emb(c), sum_hw phi(x)>,
     # identically zero on an all-zero feature map

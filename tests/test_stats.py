@@ -130,13 +130,13 @@ def test_chi2_channel_breakdown():
     from levelgan.config import GOAL, START
     from levelgan.lio.stats import per_position_chi2
 
-    ref = synthetic_corpus(512, 16, seed=3)
-    gen = synthetic_corpus(512, 16, seed=4).copy()
+    ref = synthetic_corpus(256, 16, seed=3)
+    gen = synthetic_corpus(256, 16, seed=4).copy()
     gen[:, 2, 2] = START                       # collapse START onto one cell
     r = per_position_chi2(gen, ref, 8,
                           channels={"structural": (START, GOAL)})
     assert "chi2_per_dof_structural" in r
-    base = per_position_chi2(synthetic_corpus(512, 16, seed=5), ref, 8,
+    base = per_position_chi2(synthetic_corpus(256, 16, seed=5), ref, 8,
                              channels={"structural": (START, GOAL)})
     # the anomaly shows up far stronger in the structural channel stat
     assert (r["chi2_per_dof_structural"]
