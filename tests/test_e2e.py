@@ -240,8 +240,11 @@ def test_compile_cache_persists_and_warms(tmp_path):
                    "io.compile_cache": str(cache)})
     # the tiny test programs can compile in <1s (the enable() default
     # persistence threshold), which would leave the dir empty — persist
-    # everything for this test
+    # everything for this test; and drop the in-process executable cache,
+    # which would otherwise satisfy the programs earlier tests already
+    # compiled without touching the persistent cache at all
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.clear_caches()
     train(cfg, echo=False)
     entries = list(cache.rglob("*")) if cache.exists() else []
     assert entries, "compile cache dir was not populated"
