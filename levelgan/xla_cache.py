@@ -27,6 +27,17 @@ def enable(cache_dir: str | None = None) -> str:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".xla_cache")
     os.makedirs(cache_dir, exist_ok=True)
+    if jax.config.jax_compilation_cache_dir not in (None, cache_dir):
+        # jax's cache object is a singleton latched on first compile;
+        # re-pointing the config alone is silently ignored after that
+        # (found by the order-dependent test_compile_cache failure) —
+        # reset so a user-specified io.compile_cache actually takes
+        # effect in a process that already compiled something
+        try:
+            from jax._src.compilation_cache import reset_cache
+            reset_cache()
+        except Exception:
+            pass
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return cache_dir
