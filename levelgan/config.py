@@ -51,14 +51,20 @@ class ModelConfig:
     cond_mode: str = "concat"
     critic_base_channels: int = 64
     # Minibatch-stddev feature in the critic (ProGAN, Karras et al. 2018):
-    # append the batch-wide feature stddev as one extra channel at the
-    # trunk end, making CROSS-SAMPLE collapse visible to the adversarial
-    # game — the structural lever for the measured placement collapse no
-    # per-sample critic can see (BASELINE.md round 3).  Off by default
-    # (reference-shaped critic).  Note: couples per-sample scores through
-    # the batch, so the WGAN-GP penalty's per-sample gradient norms gain
-    # cross-terms (standard practice accepts this; R1/BCE unaffected).
-    critic_mbstd: bool = False
+    # batch statistics as an extra channel, making CROSS-SAMPLE collapse
+    # visible to the adversarial game — the structural lever for the
+    # measured placement collapse no per-sample critic can see
+    # (BASELINE.md round 3).  '' = off (reference-shaped critic);
+    # 'trunk' = one scalar (mean batch stddev of the 4x4 trunk features)
+    # tiled at the trunk end — measured NOT to fix placement (position is
+    # pooled away by then); 'input' = the per-POSITION batch stddev
+    # (mean over tile channels) appended as an input channel, so "START
+    # sits on the same cells in every fake level" is a spatially resolved
+    # feature the real/fake boundary can use.  Note: couples per-sample
+    # scores through the batch, so the WGAN-GP penalty's per-sample
+    # gradient norms gain cross-terms (standard practice accepts this;
+    # R1/BCE unaffected).
+    critic_mbstd: str = ""
     dtype: str = "bfloat16"       # activation dtype on TPU; params stay f32
     use_pallas: bool = False      # swap XLA fallback blocks for Pallas kernels
     # K2 gradient-penalty implementation when use_pallas=True:
@@ -77,6 +83,16 @@ class ModelConfig:
             raise ValueError(
                 f"model.cond_mode must be 'concat'|'projection', "
                 f"got {self.cond_mode!r}")
+        if str(self.critic_mbstd) in ("True", "False", "true", "false"):
+            # the knob shipped briefly as a bool (round-3 history);
+            # checkpoints saved with it must stay loadable
+            object.__setattr__(
+                self, "critic_mbstd",
+                "trunk" if str(self.critic_mbstd).lower() == "true" else "")
+        if self.critic_mbstd not in ("", "trunk", "input"):
+            raise ValueError(
+                f"model.critic_mbstd must be ''|'trunk'|'input', "
+                f"got {self.critic_mbstd!r}")
 
 
 @dataclass(frozen=True)

@@ -37,6 +37,19 @@ class Critic(nn.Module):
         chans = [min(cfg.critic_base_channels * 2 ** i, cfg.max_channels)
                  for i in range(n)]
 
+        if cfg.critic_mbstd == "input":
+            # spatial minibatch stddev: per-POSITION across-batch stddev
+            # (mean over tile channels) as an input channel — position is
+            # intact here, so cross-sample placement collapse ("START on
+            # the same cells in every fake") is directly visible, unlike
+            # the trunk-end scalar which pools position away (measured
+            # negative, BASELINE.md round 3)
+            y32 = x.astype(jnp.float32)
+            mbmap = jnp.sqrt(y32.var(axis=0) + 1e-8).mean(-1)  # [H, W]
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(mbmap[None, :, :, None].astype(dtype),
+                                     x.shape[:3] + (1,))], axis=-1)
+
         emb = None
         if cfg.cond_dim:
             if cond is None:
@@ -64,7 +77,7 @@ class Critic(nn.Module):
             x = leaky_relu(x, cfg.leaky_slope)
 
         phi = x  # final trunk features [B, 4, 4, chans[-1]]
-        if cfg.critic_mbstd:
+        if cfg.critic_mbstd == "trunk":
             # ProGAN minibatch stddev: one scalar (mean over positions and
             # features of the across-batch stddev) tiled as an extra
             # channel.  Gives the critic a view of BATCH statistics, so

@@ -123,7 +123,7 @@ def test_critic_mbstd():
 
     cfg = preset("wgan_gp_32").override(**{
         "model.critic_base_channels": 16, "model.group_size": 8,
-        "model.critic_mbstd": True}).model
+        "model.critic_mbstd": "trunk"}).model
     critic = Critic(cfg)
     key = jax.random.key(0)
     x = jax.random.uniform(key, (8, 32, 32, 8))
@@ -137,3 +137,31 @@ def test_critic_mbstd():
     # with the diverse batch's score for the same leading sample
     assert float(jnp.abs(collapsed - collapsed[0]).max()) < 1e-5
     assert float(jnp.abs(diverse[0] - collapsed[0])) > 1e-6
+
+
+def test_critic_mbstd_input_mode():
+    """'input' mode appends the per-position batch stddev at the critic
+    input: a positionally-collapsed batch is distinguishable from a
+    spread one even when per-sample content is identical up to position."""
+    import jax
+    import jax.numpy as jnp
+    from levelgan.config import preset
+    from levelgan.models import Critic
+
+    cfg = preset("wgan_gp_32").override(**{
+        "model.critic_base_channels": 16, "model.group_size": 8,
+        "model.critic_mbstd": "input"}).model
+    critic = Critic(cfg)
+    key = jax.random.key(0)
+    x = jax.random.uniform(key, (8, 32, 32, 8))
+    params = critic.init(key, x)["params"]
+    # input grew one channel
+    assert params["down0"]["kernel"].shape[2] == cfg.n_tiles + 1
+    s_spread = critic.apply({"params": params}, x)
+    s_same = critic.apply({"params": params},
+                          jnp.broadcast_to(x[:1], x.shape))
+    assert np.isfinite(np.asarray(s_spread)).all()
+    assert float(jnp.abs(s_spread[0] - s_same[0])) > 1e-6
+
+    with pytest.raises(ValueError, match="critic_mbstd"):
+        preset("wgan_gp_32").override(**{"model.critic_mbstd": "bogus"})
