@@ -108,7 +108,7 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
     def gen_fn(params_g, key, cond=None):
         from levelgan.models import sample_head
 
-        k_z, k_s, k_r = jax.random.split(key, 3)
+        k_z, k_s = jax.random.split(key)
         z = jax.random.normal(k_z, (batch_size, cfg.model.latent_dim),
                               jnp.float32)
         logits = gen.apply({"params": params_g}, z, cond)
@@ -116,6 +116,11 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
                                  tau=cfg.model.tau_end))
         if repair:
             from levelgan.ops.repair import ensure_start_goal
+            # derived lazily (fold_in) so enabling repair does not perturb
+            # the legacy 2-way z/sample key stream — fixed-seed exports of
+            # repair-disabled models stay bit-reproducible across rounds
+            # (advisor r3)
+            k_r = jax.random.fold_in(key, 2)
             # uniform repair on a conditional model honors the requested
             # goal_dist (cond dim 3, data/features.py) by construction —
             # the export-level guarantee for the condition dim training

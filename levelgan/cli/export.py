@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
 import jax
@@ -61,6 +62,10 @@ def load_generator(ckpt: str):
             return cfg, state
         except Exception as e:  # corrupt/truncated step: try the previous one
             errors.append(f"{path}: {e}")
+            # loud fallback: a silently-loaded OLDER checkpoint would export
+            # a stale model with no user-visible indication (advisor r3)
+            print(f"[levelgan] WARNING: skipping unreadable checkpoint "
+                  f"{path}: {e}", file=sys.stderr)
     raise FileNotFoundError(
         "no readable checkpoint under {!r}; tried newest-to-oldest:\n  {}"
         .format(ckpt, "\n  ".join(errors)))
@@ -124,6 +129,13 @@ def main(argv=None):
                          "(ops/repair.py). Track family (default ON): exact "
                          "heading-closure projection (track/ops.py); "
                          "--no-repair exports the raw emitter output.")
+    ap.add_argument("--calibrated", action="store_true",
+                    help="map --cond through the checkpoint's "
+                         "cond_calibration.json (requested->internal "
+                         "response calibration, lio/calibration.py; fit "
+                         "one with tools.eval_cond --fit-calibration) so "
+                         "the requested features are realized at ~unit "
+                         "slope within the achievable band")
     args = ap.parse_args(argv)
 
     from levelgan.xla_cache import enable as enable_xla_cache
@@ -137,6 +149,12 @@ def main(argv=None):
                              f"got {cond.size}")
     elif cfg.model.cond_dim:
         cond = np.full(cfg.model.cond_dim, 0.25, np.float32)
+    if args.calibrated:
+        if cond is None:
+            raise SystemExit("--calibrated requires a conditional model")
+        from levelgan.lio.calibration import (apply_calibration,
+                                              load_calibration)
+        cond = apply_calibration(load_calibration(args.ckpt), cond)
 
     t0 = time.perf_counter()
     from levelgan.train.state import eval_generator_params

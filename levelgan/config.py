@@ -65,6 +65,15 @@ class ModelConfig:
     # gradient norms gain cross-terms (standard practice accepts this;
     # R1/BCE unaffected).
     critic_mbstd: str = ""
+    # Track family only (round 4): apply the exact heading-closure
+    # projection (track/ops.closure_project — differentiable: arithmetic +
+    # clip) INSIDE TrackGenerator.__call__, so the critic and the
+    # curriculum train on the same closed-loop distribution the export
+    # path ships (raw-emitter closure_ok is 0.29-0.43 while export
+    # projects to 1.0 — the critic otherwise trains on tracks export
+    # never emits; BASELINE.md "Track-family quality").  False = round-3
+    # behavior (projection at export only).
+    closure_in_model: bool = False
     dtype: str = "bfloat16"       # activation dtype on TPU; params stay f32
     use_pallas: bool = False      # swap XLA fallback blocks for Pallas kernels
     # K2 gradient-penalty implementation when use_pallas=True:
@@ -93,6 +102,10 @@ class ModelConfig:
             raise ValueError(
                 f"model.critic_mbstd must be ''|'trunk'|'input', "
                 f"got {self.critic_mbstd!r}")
+        if self.closure_in_model and self.family != "track":
+            raise ValueError("model.closure_in_model is track-family only "
+                             "(heading-closure projection); tile grids have "
+                             "no loop to close")
 
 
 @dataclass(frozen=True)
@@ -121,6 +134,13 @@ class TrainConfig:
     # structural chi2/dof 7.6 -> 846 — BASELINE.md "Sample quality").
     # Only active when w_presence > 0; 0 recovers the round-2 prior.
     presence_spread: float = 1.0
+    # Weight of the presence prior's EXCESS hinge (round 4): penalize each
+    # level's structural-tile mass beyond its single best cell
+    # (relu(count - max)^2), enforcing the corpus's EXACTLY-one START/GOAL
+    # invariant that the one-sided hinges leave free (measured ~1.7
+    # STARTs/level, one_start_frac 0.017-0.073 — BASELINE.md round 3).
+    # Only active when w_presence > 0; 0 recovers the round-3 prior.
+    presence_excess: float = 0.0
     # Conditioning feature-matching loss (round 3): L2 between the relaxed
     # fake sample's differentiable features (data/features.py
     # soft_level_features) and the condition it was generated under.  The
@@ -131,6 +151,12 @@ class TrainConfig:
     # (reference-shaped objective); conditional (cond_dim > 0) tile
     # models only.
     w_cond_match: float = 0.0
+    # Per-dim multipliers on the cond-match residuals (round 4, the
+    # training-side attempt at magnitude-true conditioning): comma-
+    # separated floats, one per condition dim in data/features.py order
+    # (wall_frac,hazard_frac,coin_frac,goal_dist), e.g. "1,8,8,4" boosts
+    # the measured-attenuated dims.  "" = all 1.0 (round-3 objective).
+    cond_match_dim_weights: str = ""
     # Heading-closure prior on the track generator (track/ops.py
     # closure_penalty): squared error between |sum of curvature| and 2*pi,
     # differentiable pathwise through the tanh-bounded curvature output.
@@ -165,6 +191,9 @@ class TrainConfig:
         if self.w_presence < 0:
             raise ValueError(
                 f"train.w_presence must be >= 0, got {self.w_presence}")
+        if self.presence_excess < 0:
+            raise ValueError(f"train.presence_excess must be >= 0, "
+                             f"got {self.presence_excess}")
         if self.w_closure < 0:
             raise ValueError(
                 f"train.w_closure must be >= 0, got {self.w_closure}")
@@ -226,6 +255,20 @@ class CurriculumConfig:
     # agent terms it is exact and variance-free, directly rewarding levels
     # whose START->GOAL path exists. 0 = off (reference-shaped reward).
     w_solvable: float = 0.0
+    # Solvability reward CEILING (round 4, frontier item): when the batch
+    # solvable fraction reaches this target the solvable reward switches
+    # off, so the REINFORCE gradient stops pushing playability past the
+    # point where it starts eroding skill separation (measured two-point
+    # trade: solvable 0.920 at separation -0.168 vs 0.607 at +0.21 —
+    # BASELINE.md round 3 / artifacts/quality_curriculum_full.json).
+    # 1.0 = no ceiling (round-3 behavior).
+    solvable_target: float = 1.0
+    # Gate the skill-gap reward term on per-level solvability (round 4,
+    # frontier item): reward (return_strong - return_weak) only on levels
+    # the exact solver certifies — the direct objective form of
+    # "solvable-but-discriminating".  Requires w_solvable > 0 or at least
+    # traces the solver; False = round-3 reward shape.
+    gap_on_solvable: bool = False
     g_baseline_decay: float = 0.9
     agent_updates_per_step: int = 1
     # Per-cell REINFORCE credit (round 3): weight each cell's logp by the

@@ -416,6 +416,12 @@ def fused_supported(mcfg) -> bool:
         # the kernel mirrors the concat architecture (embed_cat + plain
         # Dense head); projection conditioning routes to the generic paths
         return False
+    if getattr(mcfg, "critic_mbstd", ""):
+        # the hand-mirrored critic has no minibatch-stddev channel; with
+        # mbstd enabled its param shapes mismatch the Flax critic (down0
+        # input channels / head reshape) — reject cleanly so 'auto'/'fused'
+        # route to the real-critic paths instead of a trace-time error
+        return False
     c0, layers, _cl = _arch(mcfg)
     itemsize = jnp.dtype(mcfg.dtype).itemsize
     return _usage(1, mcfg.level_size // 2, c0, layers, itemsize) <= _VMEM_BUDGET

@@ -37,7 +37,11 @@ def gradient_penalty(d_apply, params_d, key, real, fake, cond=None) -> jax.Array
             return d_apply(params_d, x, cond).astype(jnp.float32).sum()
 
         # Sum trick: outputs are per-sample independent, so grad of the sum
-        # is the batch of per-sample input gradients.
+        # is the batch of per-sample input gradients.  Exception: with
+        # model.critic_mbstd set, the minibatch-stddev channel couples
+        # scores through the batch, so g gains cross-sample terms — the
+        # penalty then regularizes the batch-coupled critic as a whole
+        # (standard ProGAN practice accepts this; documented in config.py).
         g = jax.grad(d_sum)(x_hat)
         sq = jnp.sum(jnp.square(g.astype(jnp.float32)),
                      axis=tuple(range(1, g.ndim)))

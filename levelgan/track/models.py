@@ -68,7 +68,17 @@ class TrackGenerator(nn.Module):
         kappa = KAPPA_MAX * jnp.tanh(raw[..., 0])
         width = WIDTH_MIN + (WIDTH_MAX - WIDTH_MIN) * \
             jax.nn.sigmoid(raw[..., 1])
-        return jnp.stack([kappa, width], axis=-1)
+        out = jnp.stack([kappa, width], axis=-1)
+        if cfg.closure_in_model:
+            # round-4 knob: exact heading-closure projection INSIDE the
+            # forward (differentiable — arithmetic + clip), so the critic
+            # and curriculum train on the closed-loop distribution the
+            # export path ships (track/ops.closure_project; raw-emitter
+            # closure_ok is 0.29-0.43 without it, BASELINE.md).  Export's
+            # default repair re-projection is then an exact no-op.
+            from levelgan.track.ops import closure_project
+            out = closure_project(out)
+        return out
 
 
 class TrackCritic(nn.Module):

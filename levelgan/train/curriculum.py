@@ -156,17 +156,30 @@ def make_curriculum_step(cfg: Config):
         # ---- 5. generator update: adversarial + curriculum REINFORCE -------
         play_s = traj_s.reached.astype(jnp.float32)
         play_w = traj_w.reached.astype(jnp.float32)
-        level_reward = (cur.w_play * play_s
-                        - cur.w_anti * play_w
-                        + cur.w_gap * (traj_s.total_return - traj_w.total_return))
+        gap = traj_s.total_return - traj_w.total_return
         sol = None
-        if cur.w_solvable:
+        if cur.w_solvable or cur.gap_on_solvable:
             # exact, variance-free playability signal alongside the noisy
             # agent terms (env/solver.py; traced only when enabled — the
             # while_loop costs nothing in the default reward)
             from levelgan.env.solver import solvable
             sol = solvable(level_ids).astype(jnp.float32)
-            level_reward = level_reward + cur.w_solvable * sol
+        # round-4 frontier lever: earn the gap reward only on levels the
+        # exact solver certifies — "solvable-but-discriminating" as a
+        # per-level objective, not a post-hoc filter
+        gap_term = gap * sol if cur.gap_on_solvable else gap
+        level_reward = (cur.w_play * play_s
+                        - cur.w_anti * play_w
+                        + cur.w_gap * gap_term)
+        if cur.w_solvable:
+            w_sol = jnp.float32(cur.w_solvable)
+            if cur.solvable_target < 1.0:
+                # reward ceiling: once the batch is sufficiently solvable
+                # the term switches off, so REINFORCE stops trading skill
+                # separation for playability the frontier already has
+                w_sol = w_sol * (sol.mean()
+                                 < cur.solvable_target).astype(jnp.float32)
+            level_reward = level_reward + w_sol * sol
         advantage = jax.lax.stop_gradient(level_reward - state.g_baseline)
 
         credit = None
@@ -209,7 +222,8 @@ def make_curriculum_step(cfg: Config):
                 # structural-tile presence prior (ops/presence.py): direct
                 # pathwise gradient alongside the score-function terms
                 from levelgan.ops.presence import presence_penalty
-                pres = presence_penalty(fake, w_spread=t.presence_spread)
+                pres = presence_penalty(fake, w_spread=t.presence_spread,
+                                        w_excess=t.presence_excess)
                 loss = loss + t.w_presence * pres
             return loss, (gan_term, rl_term, pres)
 

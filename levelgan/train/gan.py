@@ -37,6 +37,37 @@ def current_tau(cfg: Config, step):
     return tau_schedule(step, m.tau_start, m.tau_end, m.tau_anneal_steps)
 
 
+def corpus_cond_scale(cfg: Config):
+    """Static per-dim feature scale for the cond-match loss.
+
+    Advisor r3: the per-batch ``cond.std(axis=0)`` with a 1e-3 floor let a
+    near-constant batch dim (small batch / degenerate corpus feature)
+    inflate that dim's squared residual by up to ~1e6, so w_cond_match
+    could dominate the G loss.  The CORPUS-wide std is a build-time
+    constant — same expected magnitude as the batch std (the round-3
+    w_cond_match=4 calibration carries over) with zero batch dependence.
+    Computed once per step build; float32 [cond_dim].
+    """
+    import numpy as np
+
+    from levelgan.data.dataset import LevelDataset
+
+    ds = LevelDataset.from_config(cfg.data, cfg.model, seed=cfg.train.seed)
+    feats = np.asarray(jax.jit(level_features)(jnp.asarray(ds.levels)))
+    scale = np.maximum(feats.std(axis=0), 1e-3)
+    if cfg.train.cond_match_dim_weights:
+        # per-dim residual multipliers (round 4) folded into the static
+        # scale: residual/(scale/sqrt(w)) == w * residual^2 / scale^2
+        w = np.array([float(x) for x in
+                      cfg.train.cond_match_dim_weights.split(",")], np.float64)
+        if w.size != scale.size:
+            raise ValueError(
+                f"train.cond_match_dim_weights needs {scale.size} values, "
+                f"got {w.size}")
+        scale = scale / np.sqrt(np.maximum(w, 1e-9))
+    return jnp.asarray(scale, jnp.float32)
+
+
 def make_gan_step(cfg: Config):
     """Build the jit-able vanilla GAN step. Batch: uint8 ids [B, H, W]."""
     m, t = cfg.model, cfg.train
@@ -51,6 +82,7 @@ def make_gan_step(cfg: Config):
                          "(model.cond_dim > 0): it matches the fake "
                          "sample's features to the requested condition")
     tx_g, tx_d = make_optimizers(cfg)
+    cond_scale = corpus_cond_scale(cfg) if t.w_cond_match else None
     label_smooth = 0.9  # soft real targets for D (standard DCGAN stabilizer)
 
     def g_sample(params_g, key, z, cond, step):
@@ -114,7 +146,8 @@ def make_gan_step(cfg: Config):
             if t.w_presence:
                 # structural-tile presence prior (ops/presence.py)
                 from levelgan.ops.presence import presence_penalty
-                pres = presence_penalty(fake2, w_spread=t.presence_spread)
+                pres = presence_penalty(fake2, w_spread=t.presence_spread,
+                                        w_excess=t.presence_excess)
                 loss = loss + t.w_presence * pres
             cmatch = None
             if t.w_cond_match:
@@ -123,15 +156,16 @@ def make_gan_step(cfg: Config):
                 # the measured ST-gradient failure this avoids)
                 from levelgan.data.features import soft_level_features
                 probs2 = jax.nn.softmax(logits2, axis=-1)
-                # standardize per dim by the batch-condition spread:
-                # hazard/coin corpus ranges are ~2% of the grid, so a
-                # raw-scale MSE is ~1e-4 — invisible next to the O(1)
-                # adversarial term (measured: those dims stayed flat at
-                # w=10, artifacts/eval_cond_32_cm2.json); unit-variance
-                # residuals give every dim comparable gradient.
-                scale = jax.lax.stop_gradient(cond.std(axis=0) + 1e-3)
+                # standardize per dim by the CORPUS feature spread (static,
+                # corpus_cond_scale): hazard/coin corpus ranges are ~2% of
+                # the grid, so a raw-scale MSE is ~1e-4 — invisible next to
+                # the O(1) adversarial term (measured: those dims stayed
+                # flat at w=10, artifacts/eval_cond_32_cm2.json);
+                # unit-variance residuals give every dim comparable
+                # gradient, and the static scale cannot be inflated by a
+                # degenerate batch (advisor r3).
                 cmatch = jnp.square(
-                    (soft_level_features(probs2) - cond) / scale).mean()
+                    (soft_level_features(probs2) - cond) / cond_scale).mean()
                 loss = loss + t.w_cond_match * cmatch
             return loss, (fake2, pres, cmatch)
 

@@ -20,7 +20,7 @@ from levelgan.data.features import level_features
 from levelgan.lio.metrics import tile_histogram
 from levelgan.models import Critic, Generator, sample_head
 from levelgan.ops.grad_penalty import gradient_penalty
-from levelgan.train.gan import current_tau, prepare_real
+from levelgan.train.gan import corpus_cond_scale, current_tau, prepare_real
 from levelgan.train.state import GANState, make_optimizers, update_ema
 
 
@@ -86,6 +86,7 @@ def make_wgan_gp_step(cfg: Config):
                          "(model.cond_dim > 0): it matches the fake "
                          "sample's features to the requested condition")
     tx_g, tx_d = make_optimizers(cfg)
+    cond_scale = corpus_cond_scale(cfg) if t.w_cond_match else None
     if m.use_pallas:
         # stage-(c) fused critic-gradient kernel for the small critics,
         # stage-(b) penalty core elsewhere (kernels/critic_grad.py)
@@ -128,7 +129,8 @@ def make_wgan_gp_step(cfg: Config):
                 # structural-tile presence prior (ops/presence.py): direct
                 # low-variance gradient against rare-tile mode-drop
                 from levelgan.ops.presence import presence_penalty
-                pres = presence_penalty(fake, w_spread=t.presence_spread)
+                pres = presence_penalty(fake, w_spread=t.presence_spread,
+                                        w_excess=t.presence_excess)
                 loss = loss + t.w_presence * pres
             cmatch = None
             if t.w_cond_match:
@@ -143,15 +145,16 @@ def make_wgan_gp_step(cfg: Config):
                 # wall_frac r 0.9999 -> 0.36) — do not regress this.
                 from levelgan.data.features import soft_level_features
                 probs = jax.nn.softmax(logits, axis=-1)
-                # standardize per dim by the batch-condition spread:
-                # hazard/coin corpus ranges are ~2% of the grid, so a
-                # raw-scale MSE is ~1e-4 — invisible next to the O(1)
-                # adversarial term (measured: those dims stayed flat at
-                # w=10, artifacts/eval_cond_32_cm2.json); unit-variance
-                # residuals give every dim comparable gradient.
-                scale = jax.lax.stop_gradient(cond_g.std(axis=0) + 1e-3)
+                # standardize per dim by the CORPUS feature spread (static,
+                # train/gan.corpus_cond_scale): hazard/coin corpus ranges
+                # are ~2% of the grid, so a raw-scale MSE is ~1e-4 —
+                # invisible next to the O(1) adversarial term (measured:
+                # those dims stayed flat at w=10,
+                # artifacts/eval_cond_32_cm2.json); unit-variance residuals
+                # give every dim comparable gradient, and the static scale
+                # cannot be inflated by a degenerate batch (advisor r3).
                 cmatch = jnp.square(
-                    (soft_level_features(probs) - cond_g) / scale).mean()
+                    (soft_level_features(probs) - cond_g) / cond_scale).mean()
                 loss = loss + t.w_cond_match * cmatch
             return loss, (fake, pres, cmatch)
 

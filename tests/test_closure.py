@@ -220,3 +220,41 @@ def test_generate_track_repair_defaults_on():
     raw = generate(cfg, params, 8, seed=1, batch_size=8, repair=False)
     raw_turn = np.abs(np.asarray(raw)[..., 0].sum(-1))
     assert np.abs(raw_turn - 2 * np.pi).max() > 1e-3  # raw does NOT close
+
+
+# ---- round-4 model.closure_in_model -----------------------------------------
+
+def test_closure_in_model_output_closes():
+    """With the projection inside the forward, every emitted track closes
+    exactly (|sum kappa| == 2*pi) — the distribution the critic trains on
+    IS the distribution export ships."""
+    from levelgan.track.models import TrackGenerator
+
+    cfg = preset("racetrack_32").override(
+        **TINY, **{"model.closure_in_model": True})
+    gen = TrackGenerator(cfg.model)
+    z = jax.random.normal(jax.random.key(0), (8, cfg.model.latent_dim))
+    params = gen.init(jax.random.key(1), z)["params"]
+    tracks = gen.apply({"params": params}, z)
+    closure = np.abs(np.asarray(tracks[..., 0].sum(-1)))
+    np.testing.assert_allclose(closure, 2 * np.pi, atol=1e-3)
+    # differentiable end to end (the curriculum needs pathwise grads)
+    g = jax.grad(lambda p: gen.apply({"params": p}, z).sum())(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_closure_in_model_step_runs():
+    from levelgan.track.train import create_track_state, make_track_wgan_step
+
+    cfg = preset("racetrack_32").override(
+        **TINY, **{"model.closure_in_model": True})
+    batch = np.asarray(
+        np.random.default_rng(0).normal(0, 0.1, (2, 8, 16, 2)), np.float32)
+    _, m = jax.jit(make_track_wgan_step(cfg))(create_track_state(cfg), batch)
+    assert np.isfinite(float(m["g_loss"]))
+
+
+def test_closure_in_model_tile_family_rejected():
+    with pytest.raises(ValueError, match="track-family only"):
+        preset("wgan_gp_32").override(**{"model.closure_in_model": True})

@@ -159,3 +159,45 @@ def test_cell_credit_step_runs_and_differs(cfg):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(a, b),
         jax.device_get(n0.discriminator), jax.device_get(n1.discriminator))
+
+
+def test_gap_on_solvable_reward(cfg):
+    """Round-4 frontier lever: gap reward gated per-level on the exact
+    solver; traces sol even with w_solvable=0, runs, and logs the metric."""
+    cfg_g = cfg.override(**{"curriculum.gap_on_solvable": True})
+    state = create_curriculum_state(cfg_g)
+    step = jax.jit(make_curriculum_step(cfg_g))
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 8, size=(2, 8, 16, 16)).astype(np.uint8)
+    new_state, m = step(state, batch)
+    assert "solvable_frac" in m
+    for k in ("g_loss", "g_rl", "skill_gap"):
+        assert np.isfinite(float(m[k])), k
+
+
+def test_solvable_target_ceiling_gates_reward(cfg):
+    """With solvable_target=0 the solvable reward is always gated OFF, so
+    the G baseline/reward must match the run without w_solvable at all
+    (same keys -> identical rollouts; the only reward delta is the gated
+    term)."""
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 8, size=(2, 8, 16, 16)).astype(np.uint8)
+
+    cfg_gated = cfg.override(**{"curriculum.w_solvable": 5.0,
+                                "curriculum.solvable_target": 1e-9})
+    s_gated = create_curriculum_state(cfg_gated)
+    _, m_gated = jax.jit(make_curriculum_step(cfg_gated))(s_gated, batch)
+
+    cfg_off = cfg.override(**{"curriculum.w_solvable": 0.0})
+    s_off = create_curriculum_state(cfg_off)
+    _, m_off = jax.jit(make_curriculum_step(cfg_off))(s_off, batch)
+
+    assert float(m_gated["g_rl"]) == pytest.approx(float(m_off["g_rl"]),
+                                                   rel=1e-5)
+
+    # and with the ceiling at 1.0 (default) the term is live: g_rl differs
+    cfg_live = cfg.override(**{"curriculum.w_solvable": 5.0})
+    s_live = create_curriculum_state(cfg_live)
+    _, m_live = jax.jit(make_curriculum_step(cfg_live))(s_live, batch)
+    assert float(m_live["g_rl"]) != pytest.approx(float(m_off["g_rl"]),
+                                                  rel=1e-6)

@@ -223,3 +223,89 @@ def test_spread_sees_soft_argmax_collapse():
     spread2 = float(presence_penalty(x2, w_spread=1.0)
                     - presence_penalty(x2, w_spread=0.0))
     assert spread2 < spread_only / 10
+
+
+# ---- round-4 excess hinge (train.presence_excess) ---------------------------
+
+def test_excess_zero_on_exactly_one():
+    ids = np.zeros((2, 4, 4), np.uint8)
+    ids[:, 0, 0] = START
+    ids[:, 3, 3] = GOAL
+    assert float(presence_penalty(_onehot_level(ids), w_excess=1.0)) == 0.0
+
+
+def test_excess_penalizes_duplicates():
+    # 2 STARTs: sum - max = 1 extra copy -> excess^2 = 1 for that tile
+    ids = np.zeros((1, 4, 4), np.uint8)
+    ids[0, 0, 0] = START
+    ids[0, 2, 2] = START
+    ids[0, 3, 3] = GOAL
+    base = float(presence_penalty(_onehot_level(ids), w_excess=0.0))
+    with_x = float(presence_penalty(_onehot_level(ids), w_excess=1.0))
+    assert base == 0.0          # round-3 hinges are one-sided: excess free
+    # mean over [B=1, |tiles|=2]: (1^2 + 0^2)/2
+    assert with_x == pytest.approx(0.5)
+
+
+def test_excess_band_tolerates_soft_mass():
+    ids = np.zeros((1, 4, 4), np.uint8)
+    ids[0, 0, 0] = START
+    ids[0, 2, 2] = START
+    ids[0, 3, 3] = GOAL
+    assert float(presence_penalty(_onehot_level(ids), w_excess=1.0,
+                                  excess_band=1.0)) == 0.0
+
+
+def test_excess_gradient_spares_the_winner():
+    # gradient must push down only NON-max cells' mass: the legitimate
+    # placement (the argmax cell) keeps the count/concentration hinges
+    # satisfied and must not be attacked by the excess term
+    soft = np.zeros((1, 4, 4, 8), np.float32)
+    soft[..., 0] = 1.0
+    soft[0, 0, 0, START] = 0.9   # winner
+    soft[0, 2, 2, START] = 0.6   # duplicate
+    soft[0, 3, 3, GOAL] = 0.9
+
+    def excess_only(x):
+        return (presence_penalty(x, w_excess=1.0, w_spread=0.0)
+                - presence_penalty(x, w_excess=0.0, w_spread=0.0))
+
+    g = jax.grad(lambda x: excess_only(jnp.asarray(x)))(jnp.asarray(soft))
+    assert float(g[0, 0, 0, START]) == pytest.approx(0.0, abs=1e-6)
+    assert float(g[0, 2, 2, START]) > 0.0
+
+
+def test_excess_gradient_removes_duplicate_end_to_end():
+    # gradient descent on the full prior from a 2-START level converges to
+    # exactly one committed START (the corpus invariant)
+    soft = np.zeros((1, 4, 4, 8), np.float32)
+    soft[..., 0] = 1.0
+    soft[0, 0, 0] = 0.0
+    soft[0, 0, 0, START] = 0.9
+    soft[0, 2, 2] = 0.0
+    soft[0, 2, 2, START] = 0.8
+    soft[0, 3, 3] = 0.0
+    soft[0, 3, 3, GOAL] = 1.0
+    x = jnp.asarray(soft)
+    fn = jax.jit(jax.grad(lambda x: presence_penalty(
+        x, w_excess=1.0, w_spread=0.0)))
+    for _ in range(200):
+        x = jnp.clip(x - 0.05 * fn(x), 0.0, 1.0)
+    start = np.asarray(x[0, ..., START])
+    assert (start > 0.5).sum() == 1          # one committed START left
+    assert float(start[0, 0]) > 0.85         # and it is the original winner
+
+
+def test_wgan_step_with_presence_excess_runs():
+    cfg = preset("wgan_gp_32").override(**TINY, **{
+        "train.w_presence": 1.0, "train.presence_excess": 1.0,
+        "train.n_critic": 2})
+    state = create_state(cfg)
+    step = jax.jit(make_wgan_gp_step(cfg))
+    state, m = step(state, _batch(cfg, n_critic=2))
+    assert np.isfinite(float(m["presence"]))
+
+
+def test_negative_excess_rejected():
+    with pytest.raises(ValueError):
+        preset("wgan_gp_32").override(**{"train.presence_excess": -1.0})

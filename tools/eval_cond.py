@@ -25,6 +25,19 @@ Gate: min-over-dims Pearson r >= --threshold (default 0.5).  Exit 0 iff
 the gate passes.  Usage:
   python -m tools.eval_cond --ckpt <dir> [--n 256] [--points 5]
                             [--buckets 3] [--threshold 0.5] [--out r.json]
+
+Round 4 — response-magnitude calibration (lio/calibration.py):
+  --fit-calibration   sweep the INTERNAL cond over a widened range
+                      (--cal-span multiples of the corpus q10-q90
+                      half-band, --cal-points points) per dim, fit the
+                      monotone requested->internal inverse map, and write
+                      cond_calibration.json next to the checkpoint.
+  --calibrated        load that file and route every requested cond
+                      through it; the reported slope then measures the
+                      USER-space response (target ~1.0 within each dim's
+                      achievable band) instead of the raw internal
+                      response (measured 0.027-0.30 on three of four dims,
+                      artifacts/eval_cond_32_cm4_repair.json).
 """
 
 from __future__ import annotations
@@ -70,8 +83,23 @@ def main(argv=None):
                          "by construction (ops/repair.py)")
     ap.add_argument("--repair-placement", default="confidence",
                     choices=("confidence", "uniform"))
+    ap.add_argument("--fit-calibration", action="store_true",
+                    help="fit the requested->internal response calibration "
+                         "from a widened internal sweep and write "
+                         "cond_calibration.json next to the checkpoint")
+    ap.add_argument("--cal-span", type=float, default=4.0,
+                    help="calibration sweep half-width in multiples of the "
+                         "corpus q10-q90 half-band")
+    ap.add_argument("--cal-points", type=int, default=9,
+                    help="internal sweep points per dim for the fit")
+    ap.add_argument("--calibrated", action="store_true",
+                    help="apply the checkpoint's cond_calibration.json to "
+                         "every requested cond (user-space evaluation)")
     ap.add_argument("--out", default="", help="optional JSON output path")
     args = ap.parse_args(argv)
+    if args.fit_calibration and args.calibrated:
+        raise SystemExit("--fit-calibration must run on the RAW internal "
+                         "response; drop --calibrated for the fit")
 
     from tools.bench_all import _enable_compile_cache
     _enable_compile_cache()
@@ -96,21 +124,45 @@ def main(argv=None):
     feats = corpus_features(corpus)          # [N, 4]
     mean_feat = feats.mean(axis=0)
 
+    calibration = None
+    if args.calibrated:
+        from levelgan.lio.calibration import (apply_calibration,
+                                              load_calibration)
+        calibration = load_calibration(args.ckpt)
+
     def realized(cond_vec, seed):
+        cond_vec = np.asarray(cond_vec, np.float32)
+        if calibration is not None:
+            cond_vec = apply_calibration(calibration, cond_vec)
         levels = generate(cfg, params, args.n, seed=seed,
-                          cond=np.asarray(cond_vec, np.float32),
+                          cond=cond_vec,
                           repair=args.repair,
                           repair_placement=args.repair_placement)
         return levels, corpus_features(levels)
 
+    from levelgan.config import GOAL, START
+
+    def measure_dim(d, name, levels, f):
+        """Mean realized feature for dim d, with the goal_dist valid mask
+        (distance is only defined when both endpoints exist; the extractor
+        falls back to cell (0,0) for absent tiles, which would score a
+        tile-dropping generator on garbage)."""
+        valid_frac = None
+        if name == "goal_dist":
+            valid = ((levels == START).any(axis=(1, 2))
+                     & (levels == GOAL).any(axis=(1, 2)))
+            valid_frac = float(valid.mean())
+            f = f[valid] if valid.any() else f[:0]
+        return (float(f[:, d].mean()) if len(f) else float("nan")), valid_frac
+
     report = {"preset": cfg.preset, "n_per_point": args.n,
               "repair": bool(args.repair),
               "repair_placement": args.repair_placement,
+              "calibrated": bool(calibration is not None),
               "threshold": args.threshold, "corpus_feature_mean":
               mean_feat.tolist(), "dims": {}}
 
     # ---- 1. response sweep per condition dim -------------------------------
-    from levelgan.config import GOAL, START
     for d, name in enumerate(FEATURE_NAMES):
         lo, hi = np.quantile(feats[:, d], [0.10, 0.90])
         if hi <= lo:  # degenerate feature (constant corpus) — report, skip
@@ -123,16 +175,10 @@ def main(argv=None):
             cond = mean_feat.copy()
             cond[d] = v
             levels, f = realized(cond, seed=args.seed + 1000 * d + j)
-            if name == "goal_dist":
-                # distance is only defined when both endpoints exist; the
-                # extractor falls back to cell (0,0) for absent tiles,
-                # which would score a tile-dropping generator on garbage
-                valid = ((levels == START).any(axis=(1, 2))
-                         & (levels == GOAL).any(axis=(1, 2)))
-                valid_fracs.append(float(valid.mean()))
-                f = f[valid] if valid.any() else f[:0]
-            realized_means.append(float(f[:, d].mean()) if len(f)
-                                  else float("nan"))
+            mean_r, vf = measure_dim(d, name, levels, f)
+            realized_means.append(mean_r)
+            if vf is not None:
+                valid_fracs.append(vf)
         if any(np.isnan(realized_means)):
             report["dims"][name] = {
                 "skipped": "no levels carry both START and GOAL at some "
@@ -144,6 +190,36 @@ def main(argv=None):
         if valid_fracs:
             row["valid_frac"] = valid_fracs
         report["dims"][name] = row
+
+    # ---- 1b. calibration fit: widened INTERNAL sweep per dim ---------------
+    if args.fit_calibration:
+        from levelgan.lio.calibration import fit_from_sweeps, save_calibration
+        sweeps = {}
+        for d, name in enumerate(FEATURE_NAMES):
+            lo, hi = np.quantile(feats[:, d], [0.10, 0.90])
+            if hi <= lo:
+                continue
+            center, half = (hi + lo) / 2.0, (hi - lo) / 2.0
+            internal = center + half * np.linspace(
+                -args.cal_span, args.cal_span, args.cal_points)
+            realized_means = []
+            for j, v in enumerate(internal):
+                cond = mean_feat.copy()
+                cond[d] = v
+                levels, f = realized(cond, seed=args.seed + 5000 * (d + 1) + j)
+                mean_r, _ = measure_dim(d, name, levels, f)
+                realized_means.append(mean_r)
+            sweeps[name] = {"internal": internal.tolist(),
+                            "realized": realized_means}
+        cal = fit_from_sweeps(
+            FEATURE_NAMES, sweeps,
+            meta={"preset": cfg.preset, "n_per_point": args.n,
+                  "cal_span": args.cal_span, "repair": bool(args.repair),
+                  "repair_placement": args.repair_placement,
+                  "seed": args.seed})
+        path = save_calibration(args.ckpt, cal)
+        report["calibration_written"] = path
+        print(f"[eval_cond] wrote {path}", file=sys.stderr)
 
     # ---- 2. bucketed per-position chi-square -------------------------------
     buckets_out = {}
