@@ -103,14 +103,27 @@ def presence_penalty(fake: jax.Array, tiles=STRUCTURAL_TILES,
     are one-sided — absence is penalized, excess is free, and the measured
     result is ~1.7 STARTs/level in training (one_start_frac 0.017-0.073 vs
     corpus 1.0; BASELINE.md round 3 — the attributed driver of the residual
-    in-training structural chi2).  The excess hinge penalizes the tile mass
-    OUTSIDE each level's best cell: ``relu(sum_hw - max_hw - band)^2`` is
-    zero iff all of the level's tile-t mass sits in one committed cell
-    (sum == max), so its gradient pushes down only the NON-winning cells'
-    mass — the legitimate placement the count/concentration hinges protect
-    is never touched (a plain upper count hinge ``relu(count - target)``
-    would push the winner down too).  With the ST head the forward value is
-    the integer number of extra copies.  Default 0.0 preserves the round-3
+    in-training structural chi2).  The excess term is STRAIGHT-THROUGH like
+    the spread term, and for the same measured reason in the opposite
+    direction: a first cut penalizing the SOFT non-winner mass
+    ``relu(sum_hw - max_hw)`` fired on every level from step 0 with the
+    relaxed softmax head (diffuse transitional mass has sum - max ~ 1 even
+    when the argmax decode emits nothing), destabilized the adversarial
+    game outright, and sent the marginal KL 0.03 -> 0.18 (runs/
+    wgan_presence_mbinx round-4 history); a second cut with a hard-count
+    forward but the same whole-grid soft backward still diverged (wdist
+    -> 3e4 over 6000 steps, generated tile entropy inflated 1.23 -> 1.62:
+    pressure on every cell's structural logit leaks through the softmax
+    into every other channel — runs/wgan_presence_mbinx6k).  Final form,
+    surgical on both sides: FORWARD counts the cells where the tile
+    actually WINS the cell argmax (what the decoder emits) and hinges on
+    copies beyond ``target`` — zero until a level carries real duplicate
+    tiles; BACKWARD routes ONLY through the soft mass at the duplicate
+    WINNING cells (total winner mass minus the best winner's), so the
+    gradient touches ~1 cell per duplicate and nothing else — the
+    legitimate placement is spared and no global logit pressure exists
+    for the adversarial game to amplify.  ``excess_band`` adds slack
+    copies before the hinge engages.  Default 0.0 preserves the round-3
     objective exactly.
     """
     chans = fake[..., jnp.asarray(tiles)].astype(jnp.float32)  # [B,H,W,|t|]
@@ -120,7 +133,19 @@ def presence_penalty(fake: jax.Array, tiles=STRUCTURAL_TILES,
     conc_deficit = jax.nn.relu(1.0 - maxes)
     per_level = jnp.square(count_deficit) + jnp.square(conc_deficit)
     if w_excess:
-        excess = jax.nn.relu(counts - maxes - jnp.float32(excess_band))
+        # hard winner count (exactly what argmax decode emits)...
+        win_mask = (jnp.argmax(fake, axis=-1)[..., None]
+                    == jnp.asarray(tiles))                     # [B,H,W,|t|]
+        win = win_mask.sum(axis=(1, 2))                        # [B, |t|]
+        extra_hard = jax.nn.relu(win.astype(jnp.float32)
+                                 - jnp.float32(target))
+        # ...with the soft mass at the DUPLICATE winning cells as the
+        # backward surrogate (winner total minus the best winner — zero
+        # gradient everywhere except the extra argmax-winning cells)
+        wmass = chans * win_mask.astype(jnp.float32)
+        soft_extra = wmass.sum(axis=(1, 2)) - wmass.max(axis=(1, 2))
+        extra = extra_hard + soft_extra - jax.lax.stop_gradient(soft_extra)
+        excess = jax.nn.relu(extra - jnp.float32(excess_band))
         per_level = per_level + w_excess * jnp.square(excess)
     pen = per_level.mean()
     if w_spread:

@@ -256,14 +256,34 @@ def test_excess_band_tolerates_soft_mass():
                                   excess_band=1.0)) == 0.0
 
 
+def test_excess_no_penalty_on_diffuse_mass():
+    """The measured round-4 first-cut failure: soft non-winner mass alone
+    (sum - max ~ 1 with nothing winning argmax) must NOT fire the hinge —
+    the decode emits no duplicate, so there is no excess to penalize
+    (penalizing it destabilized the game: runs/wgan_presence_mbinx)."""
+    p = 1.0 / 16
+    soft = np.zeros((1, 4, 4, 8), np.float32)
+    soft[..., 0] = 1.0 - 2 * p       # EMPTY wins every cell argmax
+    soft[..., START] = p
+    soft[..., GOAL] = p
+    x = jnp.asarray(soft)
+    excess_only = float(
+        presence_penalty(x, w_excess=1.0, w_spread=0.0)
+        - presence_penalty(x, w_excess=0.0, w_spread=0.0))
+    assert excess_only == 0.0
+
+
 def test_excess_gradient_spares_the_winner():
     # gradient must push down only NON-max cells' mass: the legitimate
     # placement (the argmax cell) keeps the count/concentration hinges
     # satisfied and must not be attacked by the excess term
     soft = np.zeros((1, 4, 4, 8), np.float32)
     soft[..., 0] = 1.0
+    soft[0, 0, 0] = 0.0
     soft[0, 0, 0, START] = 0.9   # winner
-    soft[0, 2, 2, START] = 0.6   # duplicate
+    soft[0, 2, 2] = 0.0
+    soft[0, 2, 2, START] = 0.6   # duplicate — wins its cell argmax too
+    soft[0, 3, 3] = 0.0
     soft[0, 3, 3, GOAL] = 0.9
 
     def excess_only(x):
@@ -273,6 +293,12 @@ def test_excess_gradient_spares_the_winner():
     g = jax.grad(lambda x: excess_only(jnp.asarray(x)))(jnp.asarray(soft))
     assert float(g[0, 0, 0, START]) == pytest.approx(0.0, abs=1e-6)
     assert float(g[0, 2, 2, START]) > 0.0
+    # surgical backward: NON-winning cells carry zero excess gradient (the
+    # whole-grid surrogate leaked global logit pressure through the
+    # softmax and diverged the game — runs/wgan_presence_mbinx6k)
+    assert float(jnp.abs(g[0, 1, 1, START])) == pytest.approx(0.0, abs=1e-7)
+    assert float(jnp.abs(g).sum()) == pytest.approx(
+        float(jnp.abs(g[0, 2, 2, START])), rel=1e-5)
 
 
 def test_excess_gradient_removes_duplicate_end_to_end():
