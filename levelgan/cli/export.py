@@ -148,7 +148,19 @@ def main(argv=None):
             raise SystemExit(f"--cond needs {cfg.model.cond_dim} values, "
                              f"got {cond.size}")
     elif cfg.model.cond_dim:
-        cond = np.full(cfg.model.cond_dim, 0.25, np.float32)
+        # default request = the corpus-mean feature vector ("a typical
+        # level"), not a fixed 0.25 — 0.25 asks for ~10x the corpus hazard/
+        # coin rates and an obedient model complies (tools/validate.py)
+        from levelgan.api import make_dataset
+        ds = make_dataset(cfg)
+        if cfg.model.family == "track":
+            from levelgan.track.ops import track_features
+            cond = np.asarray(jax.jit(track_features)(
+                ds.tracks[:4096])).mean(axis=0)
+        else:
+            from levelgan.data.features import level_features
+            cond = np.asarray(jax.jit(level_features)(
+                np.asarray(ds.levels[:4096]))).mean(axis=0)
     if args.calibrated:
         if cond is None:
             raise SystemExit("--calibrated requires a conditional model")

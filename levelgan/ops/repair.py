@@ -96,6 +96,23 @@ def ensure_start_goal(ids: jax.Array, logits: jax.Array, key=None,
     else:
         score_start, score_goal = conf[..., START], conf[..., GOAL]
 
+    if target_dist is not None:
+        # Round-4 fix for the measured goal_dist saturation at ~0.58
+        # (artifacts/eval_cond_32_cm4_fit.json: realized caps while corpus
+        # q90 is 0.78): a uniformly-placed START usually lands centrally,
+        # where NO goal cell is far enough to honor a large request.  Bias
+        # START toward cells whose farthest corner still reaches the
+        # requested distance (uniform among feasible cells; infeasible
+        # cells keep a soft penalty so degenerate masks still place).
+        h, w = ids.shape[1], ids.shape[2]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+        maxd = (jnp.maximum(rows, h - 1 - rows)
+                + jnp.maximum(cols, w - 1 - cols)
+                ).astype(jnp.float32) / (h + w)
+        score_start = score_start - 32.0 * jax.nn.relu(
+            jnp.asarray(target_dist, jnp.float32)[:, None] - maxd[None])
+
     # START: most-confident passable cell (walls would strand the agent).
     flat = _place_missing(flat, score_start, START, flat == WALL)
 

@@ -351,7 +351,11 @@ def test_repair_target_dist_honored():
     b, h = 128, 16
     ids = np.zeros((b, h, h), np.uint8)
     logits = jnp.zeros((b, h, h, 8), jnp.float32)
-    for req in (0.2, 0.5):
+    # 0.8 covers the round-4 fix: a central START cannot reach 0.8, so
+    # START placement must be biased to feasible (edge-ward) cells —
+    # pre-fix the realized distance saturated at ~0.58
+    # (artifacts/eval_cond_32_cm4_fit.json)
+    for req in (0.2, 0.5, 0.8):
         out = np.asarray(ensure_start_goal(
             jnp.asarray(ids), logits, key=jax.random.key(1),
             placement="uniform", target_dist=np.full(b, req, np.float32)))

@@ -54,9 +54,20 @@ def main(argv=None):
     from levelgan.train.state import eval_generator_params
 
     cfg, state = load_generator(args.ckpt)
-    cond = (np.full(cfg.model.cond_dim, 0.25, np.float32)
-            if cfg.model.cond_dim else None)
     ds = make_dataset(cfg)
+    cond = None
+    if cfg.model.cond_dim:
+        # corpus-mean condition, not a fixed 0.25 — see tools/validate.py
+        # (an obedient conditional model complies with an off-corpus
+        # request and the report would score that compliance as a defect)
+        if cfg.model.family == "tile":
+            from tools.eval_cond import corpus_features
+            cond = corpus_features(np.asarray(ds.levels)).mean(axis=0)
+        else:
+            import jax
+            from levelgan.track.ops import track_features
+            cond = np.asarray(jax.jit(track_features)(
+                ds.tracks[:4096])).mean(axis=0)
 
     if cfg.model.family == "track":
         # track quality is dynamic: the scripted-driver lap test +

@@ -46,9 +46,20 @@ def main(argv=None):
     cfg, state = load_generator(args.ckpt)
     from levelgan.train.state import eval_generator_params
     eval_params = eval_generator_params(state)
-    cond = (np.full(cfg.model.cond_dim, 0.25, np.float32)
-            if cfg.model.cond_dim else None)
     ds = make_dataset(cfg)
+    cond = None
+    if cfg.model.cond_dim:
+        # Condition at the CORPUS MEAN feature vector, not a fixed 0.25:
+        # 0.25 requests hazard/coin fractions ~10x the corpus mean, and an
+        # OBEDIENT conditional model (round-4 projection: response r 0.98)
+        # complies and rightly shifts its tile distribution — the fixed
+        # vector made the identity gate punish conditioning causality
+        # (measured: projection KL 0.10 under cond=0.25 vs in-band KL at
+        # the corpus mean; the round-3 concat model only passed because it
+        # attenuates those dims).  The identity contract is "corpus-like
+        # levels at a corpus-like request".
+        from tools.eval_cond import corpus_features
+        cond = corpus_features(np.asarray(ds.levels)).mean(axis=0)
 
     if cfg.model.family == "track":
         from levelgan.track.data import TrackDataset, curvature_histogram
