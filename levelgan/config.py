@@ -457,9 +457,18 @@ def preset(name: str) -> Config:
         ),
         # Extra model family (SURVEY.md R2 reconstruction): recurrent
         # segment-emitter race tracks + car-kinematics curriculum.
+        # Round-4 default: closure projection INSIDE the forward, so the
+        # critic trains on the closed-loop distribution export ships.
+        # Measured A/B (artifacts/quality_track_cim.json vs the round-3
+        # export-projection baseline): closure_ok 1.0 by construction,
+        # curvature KL 0.052 vs 0.059, kappa-diversity 0.240 vs 0.259
+        # (-7%; the in-training w_closure prior cost 2.5x).  The
+        # curriculum preset keeps it OFF: one measured run showed a -32%
+        # skill-separation cost there (BASELINE.md round 4).
         "racetrack_32": Config(
             preset="racetrack_32",
-            model=ModelConfig(family="track", n_segments=32, latent_dim=32),
+            model=ModelConfig(family="track", n_segments=32, latent_dim=32,
+                              closure_in_model=True),
             train=TrainConfig(loss="wgan_gp", batch_size=64, steps=3000,
                               steps_per_dispatch=50,
                               lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),

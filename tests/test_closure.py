@@ -211,7 +211,10 @@ def test_generate_track_repair_defaults_on():
     from levelgan.api import generate, make_state
     from levelgan.train.state import eval_generator_params
 
-    cfg = preset("racetrack_32").override(**TINY)
+    # closure_in_model=False isolates the EXPORT-path default this test
+    # pins (the round-4 racetrack_32 preset also closes inside the model)
+    cfg = preset("racetrack_32").override(
+        **TINY, **{"model.closure_in_model": False})
     state = make_state(cfg, jax.random.key(0))
     params = eval_generator_params(state)
     default = generate(cfg, params, 8, seed=1, batch_size=8)
@@ -220,6 +223,14 @@ def test_generate_track_repair_defaults_on():
     raw = generate(cfg, params, 8, seed=1, batch_size=8, repair=False)
     raw_turn = np.abs(np.asarray(raw)[..., 0].sum(-1))
     assert np.abs(raw_turn - 2 * np.pi).max() > 1e-3  # raw does NOT close
+    # round-4 preset default: closure lives in the forward, so even the
+    # repair=False export ships closed loops
+    cfg2 = preset("racetrack_32").override(**TINY)
+    state2 = make_state(cfg2, jax.random.key(0))
+    raw2 = generate(cfg2, eval_generator_params(state2), 8, seed=1,
+                    batch_size=8, repair=False)
+    turn2 = np.abs(np.asarray(raw2)[..., 0].sum(-1))
+    np.testing.assert_allclose(turn2, 2 * np.pi, atol=1e-3)
 
 
 # ---- round-4 model.closure_in_model -----------------------------------------
