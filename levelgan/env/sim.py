@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from levelgan.config import COIN, GOAL, HAZARD, START, WALL
 from levelgan.data.dataset import ICE, SAND
@@ -43,7 +44,14 @@ class EnvParams(NamedTuple):
     goal_reward: float = 1.0
 
 
-_DELTAS = jnp.asarray([[-1, 0], [1, 0], [0, -1], [0, 1]], jnp.int32)
+# numpy, NOT jnp: a module-level jnp constant materializes on first import,
+# and this module is imported LAZILY from inside traced functions (e.g.
+# ops/repair.py's target_dist branch) — under an active jit trace the
+# device array is created as a tracer, leaks into this global, and every
+# later user in the process dies with UnexpectedTracerError (measured:
+# the first combined gate_all run, round 4).  jnp consumers treat the np
+# array as a constant and XLA folds it.
+_DELTAS = np.asarray([[-1, 0], [1, 0], [0, -1], [0, 1]], np.int32)
 
 
 def start_positions(ids: jax.Array) -> jax.Array:
@@ -76,7 +84,7 @@ def transition(ids: jax.Array, pos: jax.Array, action: jax.Array,
     Returns (new_pos, reward, new_done, new_coins_taken)."""
     h, w = ids.shape[1], ids.shape[2]
     hi = jnp.asarray([h - 1, w - 1], jnp.int32)
-    delta = _DELTAS[action]
+    delta = jnp.asarray(_DELTAS)[action]
 
     def step_one(ids1, pos1, delta1, coins1, done1):
         def tile_at(pos):
