@@ -33,33 +33,45 @@ from levelgan.train.state import create_state, param_count
 from levelgan.train.wgan_gp import make_wgan_gp_step
 
 
+def resolve_export_policy(cfg: Config, repair: bool | None = None,
+                          repair_placement: str | None = None,
+                          exactly_one: bool | None = None
+                          ) -> tuple[bool, str, bool]:
+    """Resolve (repair, placement, exactly_one) for the export path.
+
+    ``None`` arguments read the config policy (``cfg.io.export_repair`` /
+    ``export_repair_placement`` / ``export_exactly_one`` — rationale and
+    measurement history in config.py and BASELINE.md rounds 3-5); explicit
+    arguments override it.  Tile repair places missing START/GOAL tiles
+    (ops/repair.py); track repair is the exact heading-closure projection
+    (track/ops.closure_project).  ``exactly_one`` additionally dedups
+    duplicate START/GOAL tiles and is tile-repair-only.
+    """
+    if repair is None:
+        repair = {"auto": cfg.model.family == "track",
+                  "on": True, "off": False}[cfg.io.export_repair]
+    if repair_placement is None:
+        repair_placement = cfg.io.export_repair_placement
+    if exactly_one is None:
+        exactly_one = {"auto": bool(repair) and cfg.model.family == "tile",
+                       "on": True, "off": False}[cfg.io.export_exactly_one]
+    return bool(repair), repair_placement, bool(exactly_one)
+
+
 @functools.lru_cache(maxsize=32)
 def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
                      repair: bool | None = None,
-                     repair_placement: str = "confidence"):
+                     repair_placement: str | None = None,
+                     exactly_one: bool | None = None):
     """jit-compiled batched sampler: (params_g, key, cond) -> uint8 ids.
 
     Export path (SURVEY.md §3.2): z -> G -> argmax decode, all on-device;
     only the uint8 tile ids cross to host.  This is the levels/sec/chip
     benchmark surface (BASELINE.md).
 
-    ``repair`` — family-specific exact output repair; ``None`` picks the
-    family default:
-      - tile family (default OFF): place missing START/GOAL tiles before
-        packing (ops/repair.py).  ``repair_placement``: 'confidence'
-        (default) places at the generator's most-confident valid cell —
-        faithful but measured to concentrate placement on the model's few
-        favored cells; 'uniform' samples the cell uniformly over the
-        valid mask, which IS the corpus's placement law, so the repaired
-        export matches the per-position gate by construction (BASELINE.md
-        round 3).  Repair defaults off so the exported marginals stay
-        loss-identical to the reference-shaped model the
-        statistical-identity band gates.
-      - track family (default ON): exact heading-closure projection
-        (track/ops.closure_project) — closure_ok 0.29-0.43 -> 1.0 at
-        corpus-level diversity for one cumsum (BASELINE.md "Track-family
-        quality"); strictly dominates shipping raw non-closing loops, so
-        the export/render path applies it unless explicitly disabled.
+    ``repair``/``repair_placement``/``exactly_one``: family-specific exact
+    output repair — ``None`` reads the config policy (see
+    ``resolve_export_policy`` and config.py IOConfig).
 
     ``pack=True`` (requires n_tiles <= 128) additionally bit-packs the tile
     ids ON DEVICE at ``ceil(log2(n_tiles))`` bits per tile (bit-plane
@@ -71,8 +83,8 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
     from levelgan.data.codec import decode
     from levelgan.models import Generator
 
-    if repair is None:
-        repair = cfg.model.family == "track"  # see docstring
+    repair, repair_placement, exactly_one = resolve_export_policy(
+        cfg, repair, repair_placement, exactly_one)
     if cfg.model.family == "track":
         from levelgan.track.models import TrackGenerator
 
@@ -130,7 +142,8 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
                       else None)
             ids = ensure_start_goal(ids, logits, key=k_r,
                                     placement=repair_placement,
-                                    target_dist=target)
+                                    target_dist=target,
+                                    exactly_one=exactly_one)
         if pack:
             # Bit-plane pack: 8 consecutive tiles -> `bits` bytes; byte j
             # holds bit j of each of the 8 tiles (tile k in bit position k).
@@ -229,7 +242,8 @@ def unpack_levels(packed: np.ndarray, level_size: int,
 @functools.lru_cache(maxsize=32)
 def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
                           pack: bool, repair: bool | None = None,
-                          repair_placement: str = "confidence"):
+                          repair_placement: str | None = None,
+                          exactly_one: bool | None = None):
     """ONE jit program generating ``n_batches`` batches via lax.fori_loop.
 
     Per-dispatch overhead dominates the export path (especially through the
@@ -238,7 +252,8 @@ def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
     per-batch dispatch.
     """
     gen_fn = make_generate_fn(cfg, batch_size, pack=pack, repair=repair,
-                              repair_placement=repair_placement)
+                              repair_placement=repair_placement,
+                              exactly_one=exactly_one)
     m = cfg.model
     per = packed_bytes(m) if pack else m.level_size * m.level_size
 
@@ -260,19 +275,21 @@ def make_generate_many_fn(cfg: Config, batch_size: int, n_batches: int,
 def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
              batch_size: int = 1024, cond=None,
              pack: bool | None = None, repair: bool | None = None,
-             repair_placement: str = "confidence") -> np.ndarray:
+             repair_placement: str | None = None,
+             exactly_one: bool | None = None) -> np.ndarray:
     """Generate ``n`` levels.
 
     Tile family: host uint8 [n, H, W]; ``pack=None`` auto-enables on-device
     bit-plane packing for the D2H transfer when the tile vocabulary fits
     under 8 bits AND H*W is a multiple of 8 (the pack groups 8 tiles per
     byte plane); the result is unpacked on host either way.  ``repair=True``
-    guarantees >=1 START and >=1 GOAL per level (ops/repair.py).
+    guarantees >=1 START and >=1 GOAL per level, and with ``exactly_one``
+    (config default: on when repairing) EXACTLY one of each (ops/repair.py).
     Track family: float32 [n, T, 2] (curvature, width) sequences — packing
     does not apply (rejected); repair applies the exact heading-closure
-    projection (track/ops.py closure_project) and DEFAULTS ON
-    (``repair=None`` resolves per family — see make_generate_fn); pass
-    ``repair=False`` for the raw emitter output.
+    projection (track/ops.py closure_project).  ``repair=None`` /
+    ``repair_placement=None`` / ``exactly_one=None`` read the config policy
+    (``cfg.io.export_*`` — see resolve_export_policy).
     """
     batch_size = min(batch_size, n)
     if cfg.model.family == "track":
@@ -321,7 +338,7 @@ def generate(cfg: Config, params_g, n: int, *, seed: int = 0,
         # (nb_per_dispatch-1)*batch_size levels that get thrown away.
         nb = min(nb_per_dispatch, n_batches_total - done)
         many = make_generate_many_fn(cfg, batch_size, nb, pack, repair,
-                                     repair_placement)
+                                     repair_placement, exactly_one)
         out = many(params_g, sub, cond)
         # Kick off the D2H copy as soon as the block's compute retires so
         # transfers overlap later blocks' compute (double-buffered pulls;

@@ -115,20 +115,27 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cond", default=None,
                     help="comma-separated feature vector (conditional models)")
-    ap.add_argument("--repair-placement", default="confidence",
+    ap.add_argument("--repair-placement", default=None,
                     choices=("confidence", "uniform"),
                     help="tile-family repair cell choice: the generator's "
                          "most-confident valid cell, or a uniform sample "
                          "over the valid mask (corpus placement law — "
-                         "matches the positional gate by construction)")
+                         "matches the positional gate by construction). "
+                         "Default: cfg.io.export_repair_placement.")
     ap.add_argument("--repair", action=argparse.BooleanOptionalAction,
                     default=None,
-                    help="family-specific exact output repair. Tile family "
-                         "(default off): ensure >=1 START and >=1 GOAL per "
-                         "level at the generator's most-confident positions "
-                         "(ops/repair.py). Track family (default ON): exact "
-                         "heading-closure projection (track/ops.py); "
-                         "--no-repair exports the raw emitter output.")
+                    help="family-specific exact output repair "
+                         "(ops/repair.py / track/ops.py closure "
+                         "projection). Default: cfg.io.export_repair "
+                         "('auto' = tile off, track on); --no-repair "
+                         "exports the raw model output.")
+    ap.add_argument("--exactly-one", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="with tile repair: also demote DUPLICATE "
+                         "START/GOAL tiles so each level carries exactly "
+                         "one of each (the corpus invariant). Default: "
+                         "cfg.io.export_exactly_one ('auto' = on when "
+                         "repairing).")
     ap.add_argument("--calibrated", action="store_true",
                     help="map --cond through the checkpoint's "
                          "cond_calibration.json (requested->internal "
@@ -151,16 +158,13 @@ def main(argv=None):
         # default request = the corpus-mean feature vector ("a typical
         # level"), not a fixed 0.25 — 0.25 asks for ~10x the corpus hazard/
         # coin rates and an obedient model complies (tools/validate.py)
+        # FULL-corpus mean (advisor r4: a first-4096 prefix mean let the
+        # shipped default operating point drift from the one the identity
+        # gate certifies — tools/validate and the gates share this helper)
         from levelgan.api import make_dataset
+        from levelgan.data.features import corpus_mean_cond
         ds = make_dataset(cfg)
-        if cfg.model.family == "track":
-            from levelgan.track.ops import track_features
-            cond = np.asarray(jax.jit(track_features)(
-                ds.tracks[:4096])).mean(axis=0)
-        else:
-            from levelgan.data.features import level_features
-            cond = np.asarray(jax.jit(level_features)(
-                np.asarray(ds.levels[:4096]))).mean(axis=0)
+        cond = corpus_mean_cond(cfg, ds)
     if args.calibrated:
         if cond is None:
             raise SystemExit("--calibrated requires a conditional model")
@@ -172,7 +176,8 @@ def main(argv=None):
     from levelgan.train.state import eval_generator_params
     levels = generate(cfg, eval_generator_params(state), args.n, seed=args.seed,
                       batch_size=args.batch, cond=cond, repair=args.repair,
-                      repair_placement=args.repair_placement)
+                      repair_placement=args.repair_placement,
+                      exactly_one=args.exactly_one)
     dt = time.perf_counter() - t0
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)

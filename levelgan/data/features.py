@@ -91,3 +91,40 @@ def soft_level_features(sample: jax.Array) -> jax.Array:
     gr, gc = st_pos(GOAL)
     dist = (jnp.abs(sr - gr) + jnp.abs(sc - gc)) / (h + w)
     return jnp.stack([frac(WALL), frac(HAZARD), frac(COIN), dist], axis=-1)
+
+
+def batched_features(feature_fn, data, batch: int = 4096):
+    """Apply a jit'd per-batch feature extractor over a whole host corpus.
+
+    One jit program reused across fixed-size batches (the tail batch gets
+    its own cached compile); returns a host float array [N, F].  Exists so
+    every corpus-mean consumer (gates, export default cond, cond-match
+    scale) shares one full-corpus, bounded-device-memory code path instead
+    of each slicing its own prefix (advisor r4 items 1-3).
+    """
+    import numpy as np
+
+    feat = jax.jit(feature_fn)
+    out = [np.asarray(feat(data[i:i + batch]))
+           for i in range(0, len(data), batch)]
+    return np.concatenate(out, axis=0)
+
+
+def corpus_mean_cond(cfg, ds):
+    """FULL-corpus mean feature vector — the default export/gate condition.
+
+    The one operating point every conditional gate and the export default
+    share ("corpus-like levels at a corpus-like request" — BASELINE.md
+    round-4 identity-gate correction).  Family-branched: tile corpora use
+    :func:`level_features` over ``ds.levels``, track corpora use
+    ``track/ops.track_features`` over ``ds.tracks`` (advisor r4: the
+    tile-only form crashed on conditional track checkpoints).
+    """
+    import numpy as np
+
+    if cfg.model.family == "track":
+        from levelgan.track.ops import track_features
+        feats = batched_features(track_features, np.asarray(ds.tracks))
+    else:
+        feats = batched_features(level_features, np.asarray(ds.levels))
+    return feats.mean(axis=0)

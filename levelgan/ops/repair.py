@@ -48,15 +48,41 @@ def _place_missing(flat_ids: jax.Array, conf_t: jax.Array, tile: int,
     return jnp.where((need[:, None] & at), jnp.uint8(tile), flat_ids)
 
 
+def _dedup(flat_ids: jax.Array, score: jax.Array, tile: int,
+           repl: jax.Array) -> jax.Array:
+    """Keep ONE ``tile`` cell per level (the argmax-``score`` one among the
+    duplicates); every other ``tile`` cell becomes ``repl`` (the model's
+    next-best non-structural, non-WALL tile there).  Levels with <= 1
+    occurrence are untouched (the keep-mask covers the single cell)."""
+    mask = flat_ids == tile
+    keep_pos = jnp.argmax(jnp.where(mask, score, -jnp.inf), axis=-1)
+    keep = jax.nn.one_hot(keep_pos, flat_ids.shape[-1], dtype=bool)
+    return jnp.where(mask & ~keep, repl, flat_ids)
+
+
 def ensure_start_goal(ids: jax.Array, logits: jax.Array, key=None,
                       placement: str = "confidence",
-                      target_dist=None) -> jax.Array:
+                      target_dist=None, exactly_one: bool = False) -> jax.Array:
     """uint8 ids [B, H, W] + generator logits [B, H, W, T] -> repaired ids.
 
-    Levels already containing a START (resp. GOAL) are untouched.  A GOAL
-    placement lands inside START's reachable component (falling back to
-    any non-WALL, non-START cell when that component is just the START
-    cell itself), and never on a START cell.
+    Levels already containing a START (resp. GOAL) are untouched (unless
+    ``exactly_one``).  A GOAL placement lands inside START's reachable
+    component (falling back to any non-WALL, non-START cell when that
+    component is just the START cell itself), and never on a START cell.
+
+    ``exactly_one`` (round 5, VERDICT r4 item 2): additionally ENFORCE the
+    corpus's exactly-one invariant on levels that emit DUPLICATE
+    START/GOAL tiles (presence-prior and curriculum checkpoints emit up
+    to mean ~8.7 STARTs/level — BASELINE.md round 4).  One occurrence is
+    kept — chosen by the same ``placement`` law as missing-tile repair
+    (uniform among the duplicates under 'uniform', the most-confident one
+    under 'confidence'); for GOAL, occurrences reachable from the kept
+    START are strongly preferred so dedup never discards the one GOAL
+    that made the level solvable.  Removed duplicates become the model's
+    next-best tile at that cell, excluding START/GOAL (they are what is
+    being deduplicated) and WALL (a WALL there could sever the kept
+    START->GOAL path, silently breaking the solvable-by-construction
+    contract of placed GOALs).
 
     ``placement``:
       - 'confidence' (default): the generator's most-confident valid cell
@@ -113,6 +139,15 @@ def ensure_start_goal(ids: jax.Array, logits: jax.Array, key=None,
         score_start = score_start - 32.0 * jax.nn.relu(
             jnp.asarray(target_dist, jnp.float32)[:, None] - maxd[None])
 
+    if exactly_one:
+        # Model's next-best replacement for removed duplicates: argmax
+        # over non-structural, non-WALL channels (see docstring).
+        blocked = conf.at[..., START].set(-jnp.inf)
+        blocked = blocked.at[..., GOAL].set(-jnp.inf)
+        blocked = blocked.at[..., WALL].set(-jnp.inf)
+        repl = jnp.argmax(blocked, axis=-1).astype(flat.dtype)
+        flat = _dedup(flat, score_start, START, repl)
+
     # START: most-confident passable cell (walls would strand the agent).
     flat = _place_missing(flat, score_start, START, flat == WALL)
 
@@ -131,8 +166,16 @@ def ensure_start_goal(ids: jax.Array, logits: jax.Array, key=None,
 
     # GOAL: most-confident cell reachable from START => solvable by
     # construction when repair places it.  reachable() re-derives the start
-    # position from the (possibly just-repaired) ids.
+    # position from the (possibly just-repaired) ids.  Computed BEFORE the
+    # GOAL dedup — valid because dedup replacements are never WALL and
+    # removed GOALs were not WALL, so reachability is unchanged by it.
     reach = reachable(flat.reshape(ids.shape)).reshape(b, -1)
+    if exactly_one:
+        # GOAL dedup with the START final: prefer keeping a GOAL inside
+        # the kept START's reachable component (finite additive bias so
+        # unreachable-only levels still keep one deterministic occurrence,
+        # chosen by the placement law / target_dist-biased score).
+        flat = _dedup(flat, score_goal + 1e6 * reach, GOAL, repl)
     is_start = flat == START
     connected = reach & ~is_start
     has_room = connected.any(axis=-1, keepdims=True)

@@ -49,3 +49,44 @@ def test_unknown_key_rejected():
         Config.from_dict({"model": {"bogus": 1}})
     with pytest.raises(KeyError):
         preset("nope")
+
+
+def test_curriculum_16_joint_preset_is_f7():
+    """The measured joint operating point (BASELINE.md round-4 frontier,
+    arm f7) ships as a named preset (round 5)."""
+    p = preset("curriculum_16_joint")
+    assert p.train.loss == "curriculum" and p.train.w_presence == 10.0
+    c = p.curriculum
+    assert (c.cell_credit, c.w_solvable, c.solvable_target,
+            c.gap_on_solvable, c.w_gap) == (True, 2.0, 0.9, True, 5.0)
+
+
+def test_export_policy_config_validation():
+    with pytest.raises(ValueError):
+        preset("wgan_gp_32").override(**{"io.export_repair": "maybe"})
+    with pytest.raises(ValueError):
+        preset("wgan_gp_32").override(
+            **{"io.export_repair_placement": "center"})
+    with pytest.raises(ValueError):
+        preset("wgan_gp_32").override(**{"io.export_exactly_one": "bogus"})
+
+
+def test_resolve_export_policy():
+    from levelgan.api import resolve_export_policy
+
+    tile = preset("wgan_gp_32")
+    track = preset("racetrack_32")
+    # auto: tile repair OFF, track repair ON
+    assert resolve_export_policy(tile) == (False, "confidence", False)
+    assert resolve_export_policy(track)[0] is True
+    # explicit args override config
+    assert resolve_export_policy(tile, True, "uniform") == \
+        (True, "uniform", True)          # exactly_one auto-on with repair
+    assert resolve_export_policy(tile, True, "uniform", False) == \
+        (True, "uniform", False)
+    # config policy flows through when args are None
+    on = tile.override(**{"io.export_repair": "on",
+                          "io.export_repair_placement": "uniform"})
+    assert resolve_export_policy(on) == (True, "uniform", True)
+    off = on.override(**{"io.export_exactly_one": "off"})
+    assert resolve_export_policy(off) == (True, "uniform", False)

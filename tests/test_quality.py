@@ -163,6 +163,88 @@ def test_repair_places_goal_connected_to_start():
     assert out2[0, 0, 0] == WALL and out2[0, 3, 3] == START
 
 
+def test_repair_exactly_one_dedups_duplicates():
+    """exactly_one=True (round 5): duplicate START/GOAL tiles are demoted
+    to the model's next-best non-structural non-WALL tile, keeping exactly
+    one of each — and keeping a REACHABLE GOAL when one exists."""
+    from levelgan.ops.repair import ensure_start_goal
+
+    g = _room(8)
+    g[:, 4] = WALL                     # two chambers
+    g[2, 2] = START                    # left chamber
+    g[5, 1] = START                    # duplicate START (left chamber)
+    g[5, 2] = GOAL                     # reachable GOAL
+    g[2, 6] = GOAL                     # unreachable duplicate (right chamber)
+    ids = g[None]
+    logits = np.zeros((1, 8, 8, 8), np.float32)
+    logits[..., EMPTY] = 1.0           # next-best everywhere = EMPTY
+    # confidence prefers the (2,2) START
+    logits[0, 2, 2, START] = 10.0
+    logits[0, 2, 6, GOAL] = 10.0       # model loves the unreachable GOAL...
+
+    out = np.asarray(ensure_start_goal(ids, logits, exactly_one=True))
+    assert (out == START).sum() == 1 and out[0, 2, 2] == START
+    assert out[0, 5, 1] == EMPTY       # demoted to next-best
+    # ...but dedup keeps the REACHABLE goal regardless of confidence
+    assert (out == GOAL).sum() == 1 and out[0, 5, 2] == GOAL
+    assert out[0, 2, 6] == EMPTY
+    assert bool(solvable(out)[0])
+    # idempotent, and a no-op on already-exactly-one levels
+    again = np.asarray(ensure_start_goal(out, logits, exactly_one=True))
+    assert (again == out).all()
+
+
+def test_repair_exactly_one_replacement_never_structural_or_wall():
+    """Even when the model's top non-START channel at a duplicate cell is
+    WALL (which could sever the kept START->GOAL path), the replacement
+    falls to the best non-WALL alternative."""
+    from levelgan.ops.repair import ensure_start_goal
+
+    g = _room(8)
+    # corridor: START ... duplicate START on the only path ... GOAL
+    g[1:7, 2] = WALL
+    g[1:7, 5] = WALL
+    g[3, 1] = START
+    g[3, 3] = START                    # on the only corridor
+    g[3, 6] = GOAL
+    # carve the corridor row
+    g[3, 2] = EMPTY
+    g[3, 4] = EMPTY
+    g[3, 5] = EMPTY
+    ids = g[None]
+    logits = np.zeros((1, 8, 8, 8), np.float32)
+    logits[..., WALL] = 5.0            # model's next-best everywhere: WALL
+    logits[..., EMPTY] = 1.0
+    logits[0, 3, 1, START] = 10.0      # keep the corridor-end START
+
+    out = np.asarray(ensure_start_goal(ids, logits, exactly_one=True))
+    assert (out == START).sum() == 1 and out[0, 3, 1] == START
+    assert out[0, 3, 3] == EMPTY       # NOT WALL
+    assert bool(solvable(out)[0])      # path stayed open
+
+
+def test_repair_exactly_one_composes_with_placement():
+    """Levels missing a tile still get one placed; levels with duplicates
+    get deduped — in the same call, under both placement laws."""
+    from levelgan.ops.repair import ensure_start_goal
+    import jax
+
+    rng = np.random.default_rng(3)
+    ids = np.stack([_room(8), _room(8)])
+    ids[0, 2, 2] = START               # missing GOAL
+    ids[1, 2, 2] = START
+    ids[1, 3, 3] = START
+    ids[1, 4, 4] = GOAL
+    ids[1, 5, 5] = GOAL
+    logits = rng.normal(size=(2, 8, 8, 8)).astype(np.float32)
+    for placement, key in (("confidence", None),
+                           ("uniform", jax.random.key(0))):
+        out = np.asarray(ensure_start_goal(
+            ids, logits, key=key, placement=placement, exactly_one=True))
+        assert ((out == START).sum(axis=(1, 2)) == 1).all()
+        assert ((out == GOAL).sum(axis=(1, 2)) == 1).all()
+
+
 @pytest.mark.slow
 def test_training_quality_probe(tmp_path):
     """io.quality_every logs on-device playability scalars into

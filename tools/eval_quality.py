@@ -60,14 +60,8 @@ def main(argv=None):
         # corpus-mean condition, not a fixed 0.25 — see tools/validate.py
         # (an obedient conditional model complies with an off-corpus
         # request and the report would score that compliance as a defect)
-        if cfg.model.family == "tile":
-            from tools.eval_cond import corpus_features
-            cond = corpus_features(np.asarray(ds.levels)).mean(axis=0)
-        else:
-            import jax
-            from levelgan.track.ops import track_features
-            cond = np.asarray(jax.jit(track_features)(
-                ds.tracks[:4096])).mean(axis=0)
+        from levelgan.data.features import corpus_mean_cond
+        cond = corpus_mean_cond(cfg, ds)
 
     if cfg.model.family == "track":
         # track quality is dynamic: the scripted-driver lap test +

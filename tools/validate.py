@@ -58,8 +58,8 @@ def main(argv=None):
         # the corpus mean; the round-3 concat model only passed because it
         # attenuates those dims).  The identity contract is "corpus-like
         # levels at a corpus-like request".
-        from tools.eval_cond import corpus_features
-        cond = corpus_features(np.asarray(ds.levels)).mean(axis=0)
+        from levelgan.data.features import corpus_mean_cond
+        cond = corpus_mean_cond(cfg, ds)
 
     if cfg.model.family == "track":
         from levelgan.track.data import TrackDataset, curvature_histogram
