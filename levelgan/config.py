@@ -141,6 +141,27 @@ class TrainConfig:
     # STARTs/level, one_start_frac 0.017-0.073 — BASELINE.md round 3).
     # Only active when w_presence > 0; 0 recovers the round-3 prior.
     presence_excess: float = 0.0
+    # ---- round-5 fine-tune transient levers (VERDICT r4 item 1).  The
+    # round-4 phase schedule (mbstd pair -> excess fine-tune) reached the
+    # first sub-150 in-training structural chi2 but its endpoints landed
+    # mid-re-convergence of the mbstd/wdist phase; these ride the
+    # transient out instead of stepping into it.
+    # Step at which the excess hinge ENGAGES (0 = from the start) and the
+    # linear ramp length over which its weight rises 0 -> presence_excess
+    # after that (0 = step function, the round-4 behavior).
+    presence_excess_start: int = 0
+    presence_excess_ramp: int = 0
+    # Linearly fade the critic's minibatch-stddev channel 1 -> 0 over
+    # [mbstd_anneal_start, +mbstd_anneal_steps) so the excess phase stops
+    # re-triggering the mbstd critic's high-wdist response to structural
+    # placement movement.  0 steps = off; wgan_gp loss only.
+    mbstd_anneal_start: int = 0
+    mbstd_anneal_steps: int = 0
+    # Freeze the critic (params + opt state) before this step — a
+    # stationary-critic window for the generator to adapt to the excess
+    # objective inside.  Meaningful for resumed fine-tunes (set it above
+    # the resume step); 0 = off; wgan_gp loss only.
+    freeze_critic_until: int = 0
     # Conditioning feature-matching loss (round 3): L2 between the relaxed
     # fake sample's differentiable features (data/features.py
     # soft_level_features) and the condition it was generated under.  The
@@ -194,6 +215,11 @@ class TrainConfig:
         if self.presence_excess < 0:
             raise ValueError(f"train.presence_excess must be >= 0, "
                              f"got {self.presence_excess}")
+        if ((self.mbstd_anneal_steps or self.freeze_critic_until)
+                and self.loss != "wgan_gp"):
+            raise ValueError(
+                "train.mbstd_anneal_steps / freeze_critic_until are "
+                f"wgan_gp-only levers, got loss={self.loss!r}")
         if self.w_closure < 0:
             raise ValueError(
                 f"train.w_closure must be >= 0, got {self.w_closure}")

@@ -24,8 +24,16 @@ class Critic(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, cond=None):
-        """x [B,H,W,n_tiles] (one-hot or soft), cond [B,cond_dim] -> [B] score."""
+    def __call__(self, x, cond=None, mbstd_scale=None):
+        """x [B,H,W,n_tiles] (one-hot or soft), cond [B,cond_dim] -> [B] score.
+
+        ``mbstd_scale`` (round 5, train.mbstd_anneal_*): optional scalar
+        multiplier on the minibatch-stddev channel (input or trunk mode) —
+        1.0/None leaves it intact, 0.0 silences it; the fine-tune
+        scheduler fades it so the excess-presence phase can move
+        structural placement without re-triggering the mbstd critic's
+        high-wdist response (BASELINE.md round-4 presence conclusion).
+        """
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         x = x.astype(dtype)
@@ -46,6 +54,8 @@ class Critic(nn.Module):
             # negative, BASELINE.md round 3)
             y32 = x.astype(jnp.float32)
             mbmap = jnp.sqrt(y32.var(axis=0) + 1e-8).mean(-1)  # [H, W]
+            if mbstd_scale is not None:
+                mbmap = mbmap * mbstd_scale
             x = jnp.concatenate(
                 [x, jnp.broadcast_to(mbmap[None, :, :, None].astype(dtype),
                                      x.shape[:3] + (1,))], axis=-1)
@@ -87,8 +97,11 @@ class Critic(nn.Module):
             # back to the trunk dtype.
             y = x.astype(jnp.float32)
             mb = jnp.sqrt(y.var(axis=0) + 1e-8).mean()
+            if mbstd_scale is not None:
+                mb = mb * mbstd_scale
             x = jnp.concatenate(
-                [x, jnp.full(x.shape[:3] + (1,), mb, dtype)], axis=-1)
+                [x, jnp.broadcast_to(mb.astype(dtype),
+                                     x.shape[:3] + (1,))], axis=-1)
         x = x.reshape(x.shape[0], -1)
         score = nn.Dense(1, dtype=jnp.float32, param_dtype=jnp.float32,
                          kernel_init=nn.initializers.normal(0.02),

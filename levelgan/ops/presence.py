@@ -132,7 +132,9 @@ def presence_penalty(fake: jax.Array, tiles=STRUCTURAL_TILES,
     count_deficit = jax.nn.relu(jnp.float32(target) - counts)
     conc_deficit = jax.nn.relu(1.0 - maxes)
     per_level = jnp.square(count_deficit) + jnp.square(conc_deficit)
-    if w_excess:
+    # static-zero w_excess keeps the round-3 trace; a TRACED weight (the
+    # round-5 ramp schedule) always includes the term, scaled in-graph
+    if isinstance(w_excess, jax.Array) or w_excess:
         # hard winner count (exactly what argmax decode emits)...
         win_mask = (jnp.argmax(fake, axis=-1)[..., None]
                     == jnp.asarray(tiles))                     # [B,H,W,|t|]
@@ -184,3 +186,39 @@ def presence_penalty(fake: jax.Array, tiles=STRUCTURAL_TILES,
         spread_deficit = jax.nn.relu(jnp.float32(min_eff) - eff)
         pen = pen + w_spread * jnp.square(spread_deficit).mean()
     return pen
+
+
+def excess_weight_schedule(t, step):
+    """Effective excess-hinge weight at ``step`` (round-5 fine-tune ramp).
+
+    Static 0.0 / static float when no start/ramp is configured (so the
+    default path traces the exact round-4 program); otherwise a traced
+    scalar: 0 before ``presence_excess_start``, then a linear rise to
+    ``presence_excess`` over ``presence_excess_ramp`` steps.  The round-4
+    step-function fine-tune dropped the full weight onto a converged
+    mbstd pair and its endpoints landed mid-re-convergence (BASELINE.md
+    round-4 presence conclusion); the ramp rides that transient out.
+    """
+    w = t.presence_excess
+    if not w or not (t.presence_excess_start or t.presence_excess_ramp):
+        return w
+    since = (jnp.asarray(step, jnp.float32)
+             - jnp.float32(t.presence_excess_start))
+    frac = jnp.clip(since / jnp.float32(max(t.presence_excess_ramp, 1)),
+                    0.0, 1.0)
+    return jnp.float32(w) * frac
+
+
+def mbstd_scale_schedule(t, step):
+    """Critic mbstd-channel multiplier at ``step`` (round-5 anneal).
+
+    None when off (the critic traces its unscaled round-4 program);
+    otherwise a traced scalar fading linearly 1 -> 0 over
+    [mbstd_anneal_start, mbstd_anneal_start + mbstd_anneal_steps).
+    """
+    if not t.mbstd_anneal_steps:
+        return None
+    since = (jnp.asarray(step, jnp.float32)
+             - jnp.float32(t.mbstd_anneal_start))
+    return 1.0 - jnp.clip(since / jnp.float32(t.mbstd_anneal_steps),
+                          0.0, 1.0)

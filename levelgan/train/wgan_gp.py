@@ -34,12 +34,15 @@ def make_critic_scan(cfg: Config, gen, critic, tx_d, gp_impl):
     """
     m, t = cfg.model, cfg.train
 
-    def d_apply(params_d, x, cond):
-        return critic.apply({"params": params_d}, x, cond)
-
     def run(params_g, params_d, opt_d, batch_ids, iter_keys, step):
         bsz = batch_ids.shape[1]
         tau = current_tau(cfg, step)
+        from levelgan.ops.presence import mbstd_scale_schedule
+        ms = mbstd_scale_schedule(t, step)   # None when the anneal is off
+
+        def d_apply(params_d, x, cond):
+            return critic.apply({"params": params_d}, x, cond,
+                                mbstd_scale=ms)
 
         def critic_iter(carry, xs):
             params_d, opt_d = carry
@@ -61,7 +64,17 @@ def make_critic_scan(cfg: Config, gen, critic, tx_d, gp_impl):
             (d_loss, (gp, wdist)), grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(params_d)
             updates, opt_d = tx_d.update(grads, opt_d, params_d)
-            params_d = optax.apply_updates(params_d, updates)
+            new_params = optax.apply_updates(params_d, updates)
+            if t.freeze_critic_until:
+                # round-5 stationary-critic window: carry the old
+                # params/opt state through unchanged while step <
+                # freeze_critic_until (a tree-wide select keeps the scan
+                # structure static; cost is one where() per leaf)
+                live = step >= t.freeze_critic_until
+                new_params, opt_d = jax.tree.map(
+                    lambda new, old: jnp.where(live, new, old),
+                    (new_params, opt_d), (params_d, carry[1]))
+            params_d = new_params
             return (params_d, opt_d), {"d_loss": d_loss, "gp": gp, "wdist": wdist}
 
         with jax.named_scope("critic_scan"):   # profiler range (SURVEY §5.1)
@@ -95,9 +108,6 @@ def make_wgan_gp_step(cfg: Config):
     else:
         gp_impl = gradient_penalty
 
-    def d_apply(params_d, x, cond):
-        return critic.apply({"params": params_d}, x, cond)
-
     critic_scan = make_critic_scan(cfg, gen, critic, tx_d, gp_impl)
 
     def step_fn(state: GANState, batch_ids: jax.Array):
@@ -118,19 +128,26 @@ def make_wgan_gp_step(cfg: Config):
         # last (un-augmented) real minibatch.
         cond_g = level_features(batch_ids[-1]) if m.cond_dim else None
         z = jax.random.normal(k_zg, (bsz, m.latent_dim), jnp.float32)
+        from levelgan.ops.presence import (excess_weight_schedule,
+                                           mbstd_scale_schedule)
+        ms_g = mbstd_scale_schedule(t, state.step)
 
         def g_loss_fn(pg):
             logits = gen.apply({"params": pg}, z, cond_g)
             fake = sample_head(k_sg, logits, m.head,
                                current_tau(cfg, state.step))
-            loss = -d_apply(params_d, fake, cond_g).mean()
+            # same mbstd scale as the critic schedule saw this step, so G
+            # optimizes against the critic it will actually face
+            loss = -critic.apply({"params": params_d}, fake, cond_g,
+                                 mbstd_scale=ms_g).mean()
             pres = None
             if t.w_presence:
                 # structural-tile presence prior (ops/presence.py): direct
                 # low-variance gradient against rare-tile mode-drop
                 from levelgan.ops.presence import presence_penalty
-                pres = presence_penalty(fake, w_spread=t.presence_spread,
-                                        w_excess=t.presence_excess)
+                pres = presence_penalty(
+                    fake, w_spread=t.presence_spread,
+                    w_excess=excess_weight_schedule(t, state.step))
                 loss = loss + t.w_presence * pres
             cmatch = None
             if t.w_cond_match:

@@ -335,3 +335,88 @@ def test_wgan_step_with_presence_excess_runs():
 def test_negative_excess_rejected():
     with pytest.raises(ValueError):
         preset("wgan_gp_32").override(**{"train.presence_excess": -1.0})
+
+
+def test_excess_weight_schedule():
+    from levelgan.ops.presence import excess_weight_schedule
+
+    # static off and static on (round-4 behavior) stay python floats
+    t0 = preset("wgan_gp_32").train
+    assert excess_weight_schedule(t0, 100) == 0.0
+    t1 = preset("wgan_gp_32").override(
+        **{"train.presence_excess": 0.5}).train
+    assert excess_weight_schedule(t1, 100) == 0.5
+    # ramp: 0 before start, linear rise, capped at the full weight
+    tr = preset("wgan_gp_32").override(**{
+        "train.presence_excess": 0.5, "train.presence_excess_start": 3000,
+        "train.presence_excess_ramp": 1000}).train
+    w = [float(excess_weight_schedule(tr, s))
+         for s in (0, 3000, 3500, 4000, 9000)]
+    assert w == pytest.approx([0.0, 0.0, 0.25, 0.5, 0.5])
+
+
+def test_mbstd_scale_schedule():
+    from levelgan.ops.presence import mbstd_scale_schedule
+
+    t0 = preset("wgan_gp_32").train
+    assert mbstd_scale_schedule(t0, 100) is None
+    ta = preset("wgan_gp_32").override(**{
+        "train.mbstd_anneal_start": 3000,
+        "train.mbstd_anneal_steps": 2000}).train
+    s = [float(mbstd_scale_schedule(ta, s))
+         for s in (0, 3000, 4000, 5000, 9000)]
+    assert s == pytest.approx([1.0, 1.0, 0.5, 0.0, 0.0])
+
+
+def test_mbstd_scale_zero_matches_no_mbstd_critic():
+    """With the channel fully annealed (scale 0) the input-mbstd critic
+    scores like one whose stddev channel carries no batch signal."""
+    from levelgan.models import Critic
+
+    cfg = preset("wgan_gp_32").override(**TINY, **{
+        "model.critic_mbstd": "input"}).model
+    critic = Critic(cfg)
+    x = jax.random.uniform(jax.random.key(0), (4, cfg.level_size,
+                                               cfg.level_size, cfg.n_tiles))
+    params = critic.init(jax.random.key(1), x)
+    s_full = critic.apply(params, x, mbstd_scale=1.0)
+    s_none = critic.apply(params, x)
+    s_zero = critic.apply(params, x, mbstd_scale=0.0)
+    np.testing.assert_allclose(np.asarray(s_full), np.asarray(s_none),
+                               rtol=1e-6)
+    # scale must actually change the program's output
+    assert not np.allclose(np.asarray(s_zero), np.asarray(s_full))
+    # and permuting the batch changes nothing at scale 0 (no batch signal
+    # through the stddev channel; per-sample scores are batch-independent)
+    s_perm = critic.apply(params, x[::-1], mbstd_scale=0.0)
+    np.testing.assert_allclose(np.asarray(s_zero)[::-1], np.asarray(s_perm),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_freeze_critic_window():
+    """freeze_critic_until: the critic (params + opt) is carried through
+    unchanged while step < threshold, and trains normally after."""
+    cfg = preset("wgan_gp_32").override(**TINY, **{
+        "train.n_critic": 2, "train.freeze_critic_until": 2})
+    state = create_state(cfg)
+    step = jax.jit(make_wgan_gp_step(cfg))
+    d0 = jax.tree.leaves(state.discriminator)[0]
+    g0 = jax.tree.leaves(state.generator)[0]
+    state, _ = step(state, _batch(cfg, n_critic=2))      # step 0: frozen
+    state, _ = step(state, _batch(cfg, n_critic=2))      # step 1: frozen
+    assert np.allclose(np.asarray(jax.tree.leaves(state.discriminator)[0]),
+                       np.asarray(d0))
+    assert not np.allclose(np.asarray(jax.tree.leaves(state.generator)[0]),
+                           np.asarray(g0))               # G still learns
+    state, _ = step(state, _batch(cfg, n_critic=2))      # step 2: live
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(state.discriminator)[0]), np.asarray(d0))
+
+
+def test_finetune_levers_are_wgan_only():
+    with pytest.raises(ValueError):
+        preset("curriculum_16").override(
+            **{"train.mbstd_anneal_steps": 100})
+    with pytest.raises(ValueError):
+        preset("toy_dcgan_16").override(
+            **{"train.freeze_critic_until": 100})

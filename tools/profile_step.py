@@ -159,6 +159,10 @@ def distill(trace_dir: str, top: int = 25):
         stack.append((off + dur, mid))
 
     total_ps = sum(r["time_ps"] for r in ops.values())
+    # Aggregate arithmetic/traffic over ALL ops (not just the top table):
+    # the inputs of the per-preset MFU rollup (VERDICT r4 missing 4).
+    total_flops = sum(r["flops"] * r["count"] for r in ops.values())
+    total_bytes = sum(r["bytes"] * r["count"] for r in ops.values())
     cats, scopes = {}, {}
     for r in ops.values():
         cats[r["category"]] = cats.get(r["category"], 0) + r["time_ps"]
@@ -179,6 +183,8 @@ def distill(trace_dir: str, top: int = 25):
         r["tf_op"] = r["tf_op"].split("closed_call/")[-1][-90:]
     return {
         "total_device_ps": total_ps,
+        "total_flops": total_flops,
+        "total_bytes": total_bytes,
         "categories": dict(sorted(cats.items(), key=lambda kv: -kv[1])),
         "scopes": dict(sorted(scopes.items(), key=lambda kv: -kv[1])),
         "top_ops": rows,
@@ -209,6 +215,20 @@ def main(argv=None):
     prof = distill(trace_dir, args.top)
     ps_to_ms_step = 1e-9 / k   # total over the K-step block -> ms/step
 
+    # Per-preset MFU rollup (VERDICT r4 missing 4): achieved FLOP/s over
+    # the step divided by the single-chip peak.  Two denominators:
+    # 'device' uses summed per-op self time (compute efficiency of the
+    # emitted program), 'wall' includes dispatch/feed gaps (what a user's
+    # step actually achieves).  Peak is the bf16 MXU peak (PEAK_FLOPS);
+    # the trace's flops stat counts model flops, and any f32 ops in the
+    # mix (GroupNorm stats, losses, adam) make the reported MFU
+    # CONSERVATIVE relative to a precision-weighted peak.
+    flops_step = prof["total_flops"] / k
+    dev_s = prof["total_device_ps"] * 1e-12 / k
+    wall_s = wall / k
+    mfu_device = flops_step / max(dev_s, 1e-12) / PEAK_FLOPS
+    mfu_wall = flops_step / max(wall_s, 1e-12) / PEAK_FLOPS
+
     os.makedirs(args.out_dir, exist_ok=True)
     base = os.path.join(args.out_dir, f"profile_{args.preset}{suffix}")
     with open(base + ".json", "w") as f:
@@ -216,6 +236,14 @@ def main(argv=None):
                    "ms_per_step_wall": wall * 1e3 / k,
                    "ms_per_step_device": prof["total_device_ps"]
                    * ps_to_ms_step,
+                   "flops_per_step": flops_step,
+                   "bytes_per_step": prof["total_bytes"] / k,
+                   "achieved_tflops_device": flops_step / max(dev_s, 1e-12)
+                   / 1e12,
+                   "peak_tflops_bf16": PEAK_FLOPS / 1e12,
+                   "mfu_device": mfu_device, "mfu_wall": mfu_wall,
+                   "hbm_gbps_device": prof["total_bytes"] / k
+                   / max(dev_s, 1e-12) / 1e9,
                    "steps_per_dispatch": k, "n_ops": prof["n_ops"],
                    "categories_ms_per_step": {
                        c: t * ps_to_ms_step
@@ -230,7 +258,14 @@ def main(argv=None):
                 f"hard sync); device: "
                 f"{prof['total_device_ps'] * ps_to_ms_step:.3f} ms/step "
                 f"over {prof['n_ops']} distinct ops\n"
-                f"- overrides: {overrides}\n\n")
+                f"- overrides: {overrides}\n"
+                f"- arithmetic: {flops_step / 1e9:.2f} GFLOP/step, "
+                f"{prof['total_bytes'] / k / 1e6:.1f} MB accessed/step -> "
+                f"**MFU {mfu_device:.3f} device / {mfu_wall:.3f} wall** "
+                f"(vs {PEAK_FLOPS / 1e12:.0f} TF/s bf16 peak; achieved "
+                f"{flops_step / max(dev_s, 1e-12) / 1e12:.1f} TF/s, "
+                f"HBM {prof['total_bytes'] / k / max(dev_s, 1e-12) / 1e9:.0f}"
+                f" GB/s device-time)\n\n")
         f.write("## By HLO category (ms/step)\n\n| category | ms/step |\n"
                 "|---|---|\n")
         for c, t in prof["categories"].items():
@@ -248,7 +283,8 @@ def main(argv=None):
                     f"{r['tf_op'][-60:]} |\n")
     print(f"[profile] wrote {base}.json / .md")
     print(f"[profile] device {prof['total_device_ps'] * ps_to_ms_step:.3f} "
-          f"ms/step; top scopes: "
+          f"ms/step; MFU {mfu_device:.3f} device / {mfu_wall:.3f} wall; "
+          f"top scopes: "
           + ", ".join(f"{s}={t * ps_to_ms_step:.3f}"
                       for s, t in list(prof["scopes"].items())[:6]))
     return 0
