@@ -242,11 +242,20 @@ class DataConfig:
     wall_density: float = 0.25    # synthetic corpus knobs
     hazard_rate: float = 0.04
     coin_rate: float = 0.06
+    # Fraction of corpus levels whose hazard/coin rate multipliers draw
+    # from the top quartile of the [0, 2] band (round 5: widens the
+    # conditional family's achievable high-rate response band by making
+    # high-rate levels common corpus events — data/dataset.py).  0.0 =
+    # round-4 corpus, bit-identical.
+    rate_oversample: float = 0.0
 
     def __post_init__(self):
         if self.feed not in ("device", "host"):
             raise ValueError(
                 f"data.feed must be 'device' or 'host', got {self.feed!r}")
+        if not 0.0 <= self.rate_oversample <= 1.0:
+            raise ValueError(f"data.rate_oversample must be in [0, 1], "
+                             f"got {self.rate_oversample}")
 
 
 @dataclass(frozen=True)

@@ -63,7 +63,7 @@ def _load_lib(stem: str, bind) -> "ctypes.CDLL | None":
 def _bind_corpusgen(lib):
     lib.gen_levels.argtypes = [
         ctypes.c_uint64, ctypes.c_int64, ctypes.c_int32,
-        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_uint8)]
     lib.gen_levels.restype = ctypes.c_int
 
@@ -114,7 +114,8 @@ def unpack_planes_native(packed: np.ndarray, bits: int,
 def synthetic_corpus_native(n: int, size: int, seed: int = 1234,
                             wall_density: float = 0.25,
                             hazard_rate: float = 0.04,
-                            coin_rate: float = 0.06) -> np.ndarray:
+                            coin_rate: float = 0.06,
+                            rate_oversample: float = 0.0) -> np.ndarray:
     """Native twin of data.dataset.synthetic_corpus (own RNG stream —
     deterministic in the seed, but a distinct backend from the NumPy path).
     Raises RuntimeError if the native library is unavailable."""
@@ -124,6 +125,7 @@ def synthetic_corpus_native(n: int, size: int, seed: int = 1234,
     out = np.empty((n, size, size), np.uint8)
     rc = lib.gen_levels(
         ctypes.c_uint64(seed), n, size, wall_density, hazard_rate, coin_rate,
+        rate_oversample,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:
         raise RuntimeError(f"gen_levels failed with code {rc}")

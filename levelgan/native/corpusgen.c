@@ -129,9 +129,13 @@ static void carve_level(rng_t *r, int size, double wall_density,
 }
 
 /* ---- public entry -------------------------------------------------------
- * out: caller-allocated n*size*size uint8 buffer. Returns 0 on success. */
+ * out: caller-allocated n*size*size uint8 buffer. Returns 0 on success.
+ * rate_oversample: fraction of levels whose hazard/coin multipliers draw
+ * from the top quartile of the [0,2] band (round-5 conditional-band
+ * widening; 0.0 draws nothing extra, keeping old seeds bit-identical). */
 int gen_levels(uint64_t seed, int64_t n, int32_t size, double wall_density,
-               double hazard_rate, double coin_rate, uint8_t *out) {
+               double hazard_rate, double coin_rate, double rate_oversample,
+               uint8_t *out) {
     if (size < 4 || n < 0) return -1;
     rng_t r;
     rng_seed(&r, seed);
@@ -143,8 +147,14 @@ int gen_levels(uint64_t seed, int64_t n, int32_t size, double wall_density,
         double wd = (0.6 + rng_double(&r)) * wall_density;
         if (wd < 0.05) wd = 0.05;
         if (wd > 0.55) wd = 0.55;
-        double hr = 2.0 * rng_double(&r) * hazard_rate;
-        double cr = 2.0 * rng_double(&r) * coin_rate;
+        double hr, cr;
+        if (rate_oversample > 0.0 && rng_double(&r) < rate_oversample) {
+            hr = (1.5 + 0.5 * rng_double(&r)) * hazard_rate;
+            cr = (1.5 + 0.5 * rng_double(&r)) * coin_rate;
+        } else {
+            hr = 2.0 * rng_double(&r) * hazard_rate;
+            cr = 2.0 * rng_double(&r) * coin_rate;
+        }
         carve_level(&r, size, wd, hr, cr,
                     out + (size_t)i * size * size, carved);
     }

@@ -105,3 +105,19 @@ def test_carve_degenerate_size_has_start_and_goal():
                          coin_rate=0.0)
         assert (g == START).sum() == 1, g
         assert (g == GOAL).sum() == 1, g
+
+
+def test_rate_oversample_widens_high_rate_tail():
+    """rate_oversample draws a fraction of levels from the top quartile of
+    the hazard/coin rate band; 0.0 leaves the corpus bit-identical."""
+    from levelgan.data.dataset import synthetic_corpus
+    from levelgan.config import HAZARD, COIN
+
+    base = synthetic_corpus(512, 16, seed=9)
+    same = synthetic_corpus(512, 16, seed=9, rate_oversample=0.0)
+    assert np.array_equal(base, same)
+    over = synthetic_corpus(512, 16, seed=9, rate_oversample=0.5)
+    for tile in (HAZARD, COIN):
+        f_base = (base == tile).mean()
+        f_over = (over == tile).mean()
+        assert f_over > f_base * 1.15, (tile, f_base, f_over)

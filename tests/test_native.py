@@ -113,3 +113,18 @@ def test_native_unpack_parity():
             out2 = np.empty((5, hw), np.uint8)
             unpack_planes_native(packed, bits, out2)
             np.testing.assert_array_equal(out2.reshape(5, size, size), ref)
+
+
+def test_native_rate_oversample():
+    if not native_available():
+        import pytest
+        pytest.skip("no C compiler")
+    from levelgan.config import COIN, HAZARD
+
+    base = synthetic_corpus_native(512, 16, seed=9)
+    assert np.array_equal(base,
+                          synthetic_corpus_native(512, 16, seed=9,
+                                                  rate_oversample=0.0))
+    over = synthetic_corpus_native(512, 16, seed=9, rate_oversample=0.5)
+    for tile in (HAZARD, COIN):
+        assert (over == tile).mean() > (base == tile).mean() * 1.15
