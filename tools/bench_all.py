@@ -21,7 +21,8 @@ import numpy as np
 from levelgan import rng
 
 PRESETS = ("toy_dcgan_16", "wgan_gp_32", "gumbel_64", "conditional_32",
-           "curriculum_16", "racetrack_32", "race_curriculum_32")
+           "curriculum_16", "curriculum_16_joint",
+           "racetrack_32", "race_curriculum_32")
 
 
 def _enable_compile_cache():
