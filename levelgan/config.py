@@ -151,12 +151,16 @@ class TrainConfig:
     # after that (0 = step function, the round-4 behavior).
     presence_excess_start: int = 0
     presence_excess_ramp: int = 0
-    # Linearly fade the critic's minibatch-stddev channel 1 -> 0 over
+    # Linearly fade the critic's minibatch-stddev channel 1 -> floor over
     # [mbstd_anneal_start, +mbstd_anneal_steps) so the excess phase stops
     # re-triggering the mbstd critic's high-wdist response to structural
-    # placement movement.  0 steps = off; wgan_gp loss only.
+    # placement movement.  The floor holds a PARTIAL fade indefinitely
+    # (0.0 = fade out entirely; measured round 5: a full fade trades the
+    # pair's placement spread away like the no-mbstd cell).  0 steps =
+    # off; wgan_gp loss only.
     mbstd_anneal_start: int = 0
     mbstd_anneal_steps: int = 0
+    mbstd_anneal_floor: float = 0.0
     # Freeze the critic (params + opt state) before this step — a
     # stationary-critic window for the generator to adapt to the excess
     # objective inside.  Meaningful for resumed fine-tunes (set it above

@@ -213,12 +213,13 @@ def mbstd_scale_schedule(t, step):
     """Critic mbstd-channel multiplier at ``step`` (round-5 anneal).
 
     None when off (the critic traces its unscaled round-4 program);
-    otherwise a traced scalar fading linearly 1 -> 0 over
-    [mbstd_anneal_start, mbstd_anneal_start + mbstd_anneal_steps).
+    otherwise a traced scalar fading linearly 1 -> mbstd_anneal_floor
+    over [mbstd_anneal_start, mbstd_anneal_start + mbstd_anneal_steps)
+    and holding the floor thereafter.
     """
     if not t.mbstd_anneal_steps:
         return None
     since = (jnp.asarray(step, jnp.float32)
              - jnp.float32(t.mbstd_anneal_start))
-    return 1.0 - jnp.clip(since / jnp.float32(t.mbstd_anneal_steps),
-                          0.0, 1.0)
+    frac = jnp.clip(since / jnp.float32(t.mbstd_anneal_steps), 0.0, 1.0)
+    return 1.0 - (1.0 - jnp.float32(t.mbstd_anneal_floor)) * frac

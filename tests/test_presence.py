@@ -420,3 +420,13 @@ def test_finetune_levers_are_wgan_only():
     with pytest.raises(ValueError):
         preset("toy_dcgan_16").override(
             **{"train.freeze_critic_until": 100})
+
+
+def test_mbstd_anneal_floor_holds():
+    from levelgan.ops.presence import mbstd_scale_schedule
+
+    t = preset("wgan_gp_32").override(**{
+        "train.mbstd_anneal_start": 1000, "train.mbstd_anneal_steps": 2000,
+        "train.mbstd_anneal_floor": 0.4}).train
+    s = [float(mbstd_scale_schedule(t, x)) for x in (0, 1000, 2000, 3000, 9000)]
+    assert s == pytest.approx([1.0, 1.0, 0.7, 0.4, 0.4])
