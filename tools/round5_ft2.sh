@@ -46,4 +46,11 @@ run_ft r5ft_G --set io.resume=runs/wgan_presence_mbin3k/ckpt/step_00003000 \
   --set train.presence_excess_start=3000 --set train.presence_excess_ramp=4000 \
   --set train.mbstd_anneal_start=3000 --set train.mbstd_anneal_steps=4000 \
   --set train.mbstd_anneal_floor=0.5
+# H: floor 0.25 — between G and the phase-1 full-fade arm D (D landed the
+# invariant at 1S 0.913 / KL 0.011 but placement collapsed to chi2 646)
+run_ft r5ft_H --set io.resume=runs/wgan_presence_mbin3k/ckpt/step_00003000 \
+  --set train.presence_excess=0.5 \
+  --set train.presence_excess_start=3000 --set train.presence_excess_ramp=4000 \
+  --set train.mbstd_anneal_start=3000 --set train.mbstd_anneal_steps=4000 \
+  --set train.mbstd_anneal_floor=0.25
 echo ROUND5_FT2_DONE
