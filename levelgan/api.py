@@ -58,7 +58,8 @@ def make_quality_probe(cfg: Config, n: int):
         z = jax.random.normal(k_z, (n, cfg.model.latent_dim), jnp.float32)
         logits = gen.apply({"params": params_g}, z, cond)
         ids = decode(sample_head(k_s, logits, export_head,
-                                 tau=cfg.model.tau_end))
+                                 tau=cfg.model.tau_end,
+                                 structural=cfg.model.structural_head))
         wf = well_formed(ids)
         return {"solvable_frac": jnp.mean(solvable(ids).astype(jnp.float32)),
                 "has_start_frac": jnp.mean(wf["has_start"].astype(jnp.float32)),

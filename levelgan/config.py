@@ -74,6 +74,20 @@ class ModelConfig:
     # never emits; BASELINE.md "Track-family quality").  False = round-3
     # behavior (projection at export only).
     closure_in_model: bool = False
+    # Tile family only (round 5): 'spatial' realizes the corpus's
+    # exactly-one START/GOAL invariant IN THE MODEL — the trunk's
+    # structural channels become per-position logits from which ONE
+    # START and ONE GOAL cell are drawn (spatial softmax / Gumbel-ST over
+    # the H*W cells), composed differentiably with the non-structural
+    # tile sample.  The tile-family analogue of track's closure_in_model:
+    # the critic trains on the invariant-holding distribution export
+    # ships, instead of approaching it through the presence-loss
+    # transient (BASELINE.md round-5 fine-tune matrix: no excess/mbstd
+    # schedule held KL + exactly-one + solvable + spread at once).
+    # 'none' = round-4 behavior.  Composes with train.w_presence: the
+    # count/concentration/excess hinges vanish by construction and only
+    # the batch spread term stays active.
+    structural_head: str = "none"
     dtype: str = "bfloat16"       # activation dtype on TPU; params stay f32
     use_pallas: bool = False      # swap XLA fallback blocks for Pallas kernels
     # K2 gradient-penalty implementation when use_pallas=True:
@@ -106,6 +120,13 @@ class ModelConfig:
             raise ValueError("model.closure_in_model is track-family only "
                              "(heading-closure projection); tile grids have "
                              "no loop to close")
+        if self.structural_head not in ("none", "spatial"):
+            raise ValueError(
+                f"model.structural_head must be 'none'|'spatial', "
+                f"got {self.structural_head!r}")
+        if self.structural_head == "spatial" and self.family != "tile":
+            raise ValueError("model.structural_head is tile-family only "
+                             "(START/GOAL cells); tracks have no tiles")
 
 
 @dataclass(frozen=True)

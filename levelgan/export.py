@@ -111,7 +111,8 @@ def make_generate_fn(cfg: Config, batch_size: int, pack: bool = False,
                               jnp.float32)
         logits = gen.apply({"params": params_g}, z, cond)
         ids = decode(sample_head(k_s, logits, export_head,
-                                 tau=cfg.model.tau_end))
+                                 tau=cfg.model.tau_end,
+                                 structural=cfg.model.structural_head))
         if repair:
             from levelgan.ops.repair import ensure_start_goal
             # derived lazily (fold_in) so enabling repair does not perturb

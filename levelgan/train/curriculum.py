@@ -87,6 +87,15 @@ def make_curriculum_step(cfg: Config):
         # agents play discrete ones — two different sample spaces, silently.
         raise ValueError(
             f"curriculum loss requires model.head='gumbel', got '{m.head}'")
+    if m.structural_head != "none":
+        # The REINFORCE estimator credits per-cell log p(tile | cell) from
+        # the channel softmax; the spatial head samples START/GOAL from a
+        # per-POSITION categorical instead, so that log-prob would be wrong
+        # for the composed sample.  (The curriculum's playability reward is
+        # itself the in-training structural pressure for this family.)
+        raise ValueError("model.structural_head='spatial' is not supported "
+                         "with the curriculum loss (REINFORCE log-prob "
+                         "assumes per-cell channel sampling)")
     gen, critic = Generator(m), Critic(m)
     tx_g, tx_d = make_optimizers(cfg)
     if m.use_pallas:

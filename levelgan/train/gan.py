@@ -94,7 +94,8 @@ def make_gan_step(cfg: Config):
     def g_sample(params_g, key, z, cond, step):
         logits = gen.apply({"params": params_g}, z, cond)
         tau = current_tau(cfg, step)
-        return sample_head(key, logits, m.head, tau)
+        return sample_head(key, logits, m.head, tau,
+                           structural=m.structural_head)
 
     def step_fn(state: GANState, batch_ids: jax.Array):
         base = jax.random.fold_in(state.rng, state.step)
@@ -144,7 +145,8 @@ def make_gan_step(cfg: Config):
         def g_loss_fn(params_g):
             logits2 = gen.apply({"params": params_g}, z2, cond)
             fake2 = sample_head(k_s2, logits2, m.head,
-                                current_tau(cfg, state.step))
+                                current_tau(cfg, state.step),
+                                structural=m.structural_head)
             d_out = critic.apply({"params": params_d}, fake2, cond)
             loss = optax.sigmoid_binary_cross_entropy(
                 d_out, jnp.ones_like(d_out)).mean()

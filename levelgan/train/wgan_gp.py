@@ -51,7 +51,8 @@ def make_critic_scan(cfg: Config, gen, critic, tx_d, gp_impl):
             real, cond = prepare_real(cfg, k_aug, ids)
             z = jax.random.normal(k_z, (bsz, m.latent_dim), jnp.float32)
             logits = gen.apply({"params": params_g}, z, cond)
-            fake = jax.lax.stop_gradient(sample_head(k_s, logits, m.head, tau))
+            fake = jax.lax.stop_gradient(sample_head(
+                k_s, logits, m.head, tau, structural=m.structural_head))
 
             def d_loss_fn(pd):
                 d_real = d_apply(pd, real, cond)
@@ -135,7 +136,8 @@ def make_wgan_gp_step(cfg: Config):
         def g_loss_fn(pg):
             logits = gen.apply({"params": pg}, z, cond_g)
             fake = sample_head(k_sg, logits, m.head,
-                               current_tau(cfg, state.step))
+                               current_tau(cfg, state.step),
+                               structural=m.structural_head)
             # same mbstd scale as the critic schedule saw this step, so G
             # optimizes against the critic it will actually face
             loss = -critic.apply({"params": params_d}, fake, cond_g,
