@@ -507,6 +507,23 @@ def preset(name: str) -> Config:
                               steps_per_dispatch=50,
                               lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
         ),
+        # 2b. WGAN-GP with the exactly-one structural invariant IN the
+        # model (round 5): spatial START/GOAL head + Gumbel-ST tile
+        # sampling + the batch spread hinge (the only presence term still
+        # active under this head).  The measured operating point that
+        # holds every quality property at once ON THE RAW SAMPLE PATH —
+        # KL 0.0002, structural chi2/dof 1.6, solvable 0.96, exactly-one
+        # 1.0 by construction, diversity corpus-identical — where no
+        # presence-loss schedule ever did (BASELINE.md round-5 structural
+        # head; artifacts/quality_sh_nombstd.json).
+        "wgan_gp_32_structural": Config(
+            preset="wgan_gp_32_structural",
+            model=ModelConfig(level_size=32, head="gumbel",
+                              structural_head="spatial"),
+            train=TrainConfig(loss="wgan_gp", batch_size=64, steps=3000,
+                              steps_per_dispatch=50, w_presence=10.0,
+                              lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
+        ),
         # 3. Gumbel-softmax discrete generator at 64x64, on-device pipeline.
         "gumbel_64": Config(
             preset="gumbel_64",
@@ -528,9 +545,20 @@ def preset(name: str) -> Config:
             preset="conditional_32",
             model=ModelConfig(level_size=32, head="gumbel", cond_dim=4,
                               cond_mode="projection"),
+            # Round-5 shipped knobs: the measured-attenuated dims'
+            # cond-match residuals boosted (round-4 dim-boost) AND the
+            # conditional corpus's high-hazard/high-coin quantiles
+            # oversampled at the measured-best 0.3 dose — calibrated
+            # user-space slopes wall 0.97 / hazard 0.78 / coin 0.87 /
+            # goal 0.80 at identity KL 0.0021 (dose 0.5 SATURATES:
+            # hazard 0.75 — BASELINE.md round 5, the recorded
+            # dose-response).  Reference-shaped behavior: dim_weights ''
+            # + rate_oversample 0.
             train=TrainConfig(loss="wgan_gp", batch_size=64, steps=5000,
                               steps_per_dispatch=50, w_cond_match=1.0,
+                              cond_match_dim_weights="1,8,8,4",
                               lr_g=1e-4, lr_d=1e-4, beta1=0.0, beta2=0.9),
+            data=DataConfig(rate_oversample=0.3),
         ),
         # 5. Agent-in-the-loop adversarial curriculum, data-parallel mesh.
         "curriculum_16": Config(
@@ -592,7 +620,8 @@ def preset(name: str) -> Config:
     return presets[name]
 
 
-PRESET_NAMES = ("toy_dcgan_16", "wgan_gp_32", "gumbel_64",
+PRESET_NAMES = ("toy_dcgan_16", "wgan_gp_32", "wgan_gp_32_structural",
+                "gumbel_64",
                 "conditional_32", "curriculum_16", "curriculum_16_joint",
                 "racetrack_32", "race_curriculum_32")
 

@@ -20,6 +20,9 @@ def test_presets_cover_baseline_configs():
     assert p4.model.cond_dim > 0
     p5 = preset("curriculum_16")
     assert p5.curriculum.rollout_steps > 0
+    p6 = preset("wgan_gp_32_structural")
+    assert p6.model.structural_head == "spatial"
+    assert p6.model.head == "gumbel" and p6.train.w_presence > 0
 
 
 def test_roundtrip_json():
