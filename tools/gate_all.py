@@ -50,7 +50,7 @@ recorded-but-non-gating checks are red (round 5 — previously the rollup
 buried them; see BASELINE.md round-5 gate-semantics note).
 
 Usage:
-  python -m tools.gate_all --runs runs/wgan_base runs/conditional_cm4 ...
+  python -m tools.gate_all --runs runs/wgan_base runs/wgan_gp_32_structural ...
                            [--out artifacts/gates_all.json] [--n 1024]
 Exit 0 iff every NON-informative gate of every checkpoint passes; the
 rollup records every gate result, informative or not, either way.
